@@ -1,0 +1,143 @@
+"""Benchmark: BPR-CiteULike training throughput (examples/s).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": N}
+
+Workload = the reference's headline config (tf2_examples/bpr_citeulike.py:
+12-15): BPR, 5,551 users x 16,980 items, dim_embed=50, batch=1000, Adam.
+Interactions are synthetic at CiteULike scale (the real dataset isn't
+bundled with the reference either; throughput is data-independent).
+
+vs_baseline: measured against a faithful TF/Keras re-statement of the
+reference's train step (Embedding lookups + GradientTape + keras Adam —
+exactly what tf2_examples/bpr_citeulike.py:33-39 executes) on this
+machine's CPU, cached in BENCH_BASELINE.json after first measurement.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
+
+USERS, ITEMS, DIM, BATCH = 5551, 16980, 50, 1000
+WARMUP_STEPS, MEASURE_STEPS = 20, 200
+
+
+def synth_interactions(n=204057, seed=0):
+    rng = np.random.default_rng(seed)
+    users = rng.integers(0, USERS, size=n).astype(np.int32)
+    items = rng.integers(0, ITEMS, size=n).astype(np.int32)
+    data = np.zeros(n, dtype=[("user_id", np.int32), ("item_id", np.int32)])
+    data["user_id"], data["item_id"] = users, items
+    return data
+
+
+def measure_ours():
+    import jax
+
+    from openrec_tpu.data import Dataset
+    from openrec_tpu.models import BPR
+    from openrec_tpu.training import Trainer
+
+    ds = Dataset(synth_interactions(), USERS, ITEMS, seed=0)
+    model = BPR(total_users=USERS, total_items=ITEMS, dim_user_embed=DIM,
+                dim_item_embed=DIM)
+    tr = Trainer(model, lr=1e-3, seed=0)
+    batches = ds.pairwise(batch_size=BATCH, num_parallel_calls=2)
+    it = iter(batches)
+
+    for _ in range(WARMUP_STEPS):
+        tr.train_step(next(it))
+    jax.block_until_ready(tr.params)
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        tr.train_step(next(it))
+    jax.block_until_ready(tr.params)
+    dt = time.perf_counter() - t0
+    batches.stop()
+    return MEASURE_STEPS * BATCH / dt
+
+
+def measure_tf_reference():
+    """Reference-equivalent TF/Keras BPR train step (CPU)."""
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import tensorflow as tf
+
+    user_lf = tf.keras.layers.Embedding(USERS, DIM,
+                                        embeddings_initializer="uniform")
+    item_lf = tf.keras.layers.Embedding(ITEMS, DIM,
+                                        embeddings_initializer="uniform")
+    item_bias = tf.keras.layers.Embedding(ITEMS, 1,
+                                          embeddings_initializer="zeros")
+    opt = tf.keras.optimizers.Adam()
+    variables = None
+
+    @tf.function
+    def train_step(user_id, p_item_id, n_item_id):
+        with tf.GradientTape() as tape:
+            u = user_lf(user_id)
+            pv, nv = item_lf(p_item_id), item_lf(n_item_id)
+            pb, nb = item_bias(p_item_id), item_bias(n_item_id)
+            pos = tf.reduce_sum(u * pv, axis=1, keepdims=True) + pb
+            neg = tf.reduce_sum(u * nv, axis=1, keepdims=True) + nb
+            loss = -tf.reduce_mean(
+                tf.math.log_sigmoid(tf.maximum(pos - neg, -30.0)))
+            l2 = (tf.nn.l2_loss(u) + tf.nn.l2_loss(pv) + tf.nn.l2_loss(nv))
+            total = loss + l2
+        grads = tape.gradient(total, tape.watched_variables())
+        opt.apply_gradients(zip(grads, tape.watched_variables()))
+        return loss
+
+    rng = np.random.default_rng(0)
+
+    def batch():
+        return (tf.constant(rng.integers(0, USERS, BATCH), tf.int32),
+                tf.constant(rng.integers(0, ITEMS, BATCH), tf.int32),
+                tf.constant(rng.integers(0, ITEMS, BATCH), tf.int32))
+
+    for _ in range(5):
+        train_step(*batch())
+    t0 = time.perf_counter()
+    steps = 50
+    for _ in range(steps):
+        train_step(*batch())
+    dt = time.perf_counter() - t0
+    return steps * BATCH / dt
+
+
+def get_baseline():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["examples_per_s"]
+    try:
+        val = measure_tf_reference()
+    except Exception as e:  # TF missing/broken: fall back to recorded value
+        print(f"baseline measurement failed: {e}", file=sys.stderr)
+        return None
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"examples_per_s": val,
+                   "config": "reference tf2 BPR train step, TF CPU",
+                   "batch": BATCH, "dim": DIM}, f)
+    return val
+
+
+def main():
+    baseline = get_baseline()
+    ours = measure_ours()
+    vs = ours / baseline if baseline else 0.0
+    print(json.dumps({
+        "metric": "examples/s (BPR-CiteULike dim50 batch1000 train step)",
+        "value": round(ours, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

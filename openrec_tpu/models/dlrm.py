@@ -1,0 +1,120 @@
+"""DLRM — deep learning recommendation model (Naumov et al.).
+
+Parity: openrec/tf2/recommenders/dlrm.py:6-100 — per-feature embedding
+tables (ln_emb), bottom MLP over dense features, pairwise dot interaction
+(or concat), top MLP, MSE/BCE loss, loss_threshold prediction clipping.
+
+TPU re-design notes:
+  - all sparse tables share one lookup path; per-table gathers are batched
+    by XLA into HBM gathers; the sharded variant (parallel/embedding.py)
+    row-shards the concatenated table space over the mesh 'model' axis;
+  - interaction is one [B, F, D] einsum on the MXU instead of a Python list
+    of per-pair ops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from openrec_tpu.models.base import Recommender
+from openrec_tpu.modules.embedding import embedding_init
+from openrec_tpu.modules.interactions import second_order_interaction
+from openrec_tpu.modules.losses import bce_loss, mse_loss
+from openrec_tpu.modules.mlp import MLP
+
+
+@dataclasses.dataclass(frozen=True)
+class DLRM(Recommender):
+    m_spa: int                       # sparse embedding dim
+    ln_emb: Sequence[int]            # rows per sparse table
+    ln_bot: Sequence[int]            # bottom MLP units
+    ln_top: Sequence[int]            # top MLP units (last = 1)
+    dim_dense: int                   # number of dense input features
+    arch_interaction_op: str = "dot"
+    arch_interaction_itself: bool = False
+    sigmoid_bot: bool = False
+    sigmoid_top: bool = True
+    loss_func: str = "mse"
+    loss_threshold: float = 0.0
+
+    def __post_init__(self):
+        if self.arch_interaction_op not in ("dot", "cat"):
+            raise ValueError(
+                f"arch_interaction_op={self.arch_interaction_op} "
+                "is not supported")
+        if self.loss_func not in ("mse", "bce"):
+            raise ValueError(f"loss_func={self.loss_func} is not supported")
+
+    @property
+    def _mlp_bot(self):
+        return MLP(units=list(self.ln_bot), activation="relu",
+                   out_activation="sigmoid" if self.sigmoid_bot else "relu")
+
+    @property
+    def _mlp_top(self):
+        return MLP(units=list(self.ln_top), activation="relu",
+                   out_activation="sigmoid" if self.sigmoid_top else "relu")
+
+    def _top_in_dim(self):
+        F = len(self.ln_emb) + 1     # sparse features + dense embedding
+        if self.arch_interaction_op == "dot":
+            k = 1 if not self.arch_interaction_itself else 0
+            pairs = F * (F - 1) // 2 if k else F * (F + 1) // 2
+            return self.ln_bot[-1] + pairs
+        return len(self.ln_emb) * self.m_spa + self.ln_bot[-1]
+
+    def init(self, rng):
+        n_tables = len(self.ln_emb)
+        rngs = jax.random.split(rng, n_tables + 2)
+        tables = [embedding_init(rngs[i], num, self.m_spa)
+                  for i, num in enumerate(self.ln_emb)]
+        return {
+            "embed_tables": tables,
+            "mlp_bot": self._mlp_bot.init(rngs[-2], self.dim_dense),
+            "mlp_top": self._mlp_top.init(rngs[-1], self._top_in_dim()),
+        }
+
+    def predict(self, params, dense_features, sparse_features):
+        """dense: [B, dim_dense]; sparse: [B, num_tables] int → [B] preds."""
+        sparse_vecs = [jnp.take(tbl, sparse_features[:, i], axis=0)
+                       for i, tbl in enumerate(params["embed_tables"])]
+        dense_vec = self._mlp_bot.apply(params["mlp_bot"], dense_features)
+
+        if self.arch_interaction_op == "dot":
+            inter = second_order_interaction(
+                sparse_vecs + [dense_vec],
+                self_interaction=self.arch_interaction_itself)
+            top_in = jnp.concatenate([dense_vec, inter], axis=1)
+        else:
+            top_in = jnp.concatenate(sparse_vecs + [dense_vec], axis=1)
+
+        pred = self._mlp_top.apply(params["mlp_top"], top_in)
+        if 0.0 < self.loss_threshold < 1.0:
+            pred = jnp.clip(pred, self.loss_threshold,
+                            1.0 - self.loss_threshold)
+        return jnp.reshape(pred, (-1,))
+
+    def loss(self, params, batch, rng=None):
+        pred = self.predict(params, batch["dense_features"],
+                            batch["sparse_features"])
+        if self.loss_func == "mse":
+            task = mse_loss(batch["label"], pred)
+        else:
+            task = bce_loss(batch["label"], pred)
+        return task, {"loss": task}
+
+    def score(self, params, batch):
+        return self.predict(params, batch["dense_features"],
+                            batch["sparse_features"])
+
+
+def criteo_dlrm(counts, dim_embed=4, ln_bot=(8, 4), ln_top=(128, 64, 1),
+                **kw) -> DLRM:
+    """The reference Criteo config (tf2_examples/dlrm_criteo.py:9-14,29-38)."""
+    return DLRM(m_spa=dim_embed, ln_emb=tuple(int(c) for c in counts),
+                ln_bot=tuple(ln_bot), ln_top=tuple(ln_top), dim_dense=13,
+                loss_func="bce", **kw)

@@ -1,0 +1,93 @@
+"""Distributed train/eval step builders (pjit-style, GSPMD partitioning).
+
+Design (SURVEY.md §7): batch shards over 'data', embedding tables shard rows
+over 'model', dense towers replicate. One jit with sharding annotations —
+XLA GSPMD inserts the collectives (grad psum over 'data', gather exchange
+over 'model'), which ride ICI within a slice and DCN across hosts.
+
+There is no reference counterpart (the reference is single-process,
+single-device; SURVEY.md §2.9); the spec comes from the model zoo's needs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import optax
+
+from openrec_tpu.parallel.mesh import (
+    DEFAULT_RULES, batch_sharding, replicated, shard_params)
+
+
+def _opt_state_shardings(tx, params, param_shardings, mesh):
+    """Moment buffers (same shape as a param) inherit that param's
+    sharding; everything else (step counters etc.) replicates."""
+    shapes = jax.eval_shape(tx.init, params)
+    by_shape = {}
+    for spec, leaf in zip(jax.tree_util.tree_leaves(param_shardings),
+                          jax.tree_util.tree_leaves(params)):
+        by_shape.setdefault(leaf.shape, spec)
+
+    def pick(shape_struct):
+        return by_shape.get(shape_struct.shape, replicated(mesh))
+
+    return jax.tree_util.tree_map(pick, shapes)
+
+
+def make_parallel_train_step(model, tx, mesh, rules=DEFAULT_RULES):
+    """Returns (step_fn, init_fn).
+
+    init_fn(rng) -> (params, opt_state, param_shardings) on the mesh.
+    step_fn(params, opt_state, batch, rng)
+                 -> (params, opt_state, loss, aux).
+
+    Feed batches with `to_device(batch, batch_sharding(mesh))` so each host
+    only transfers its shard; jit also accepts unplaced arrays and shards
+    them on entry.
+    """
+
+    def init_fn(rng):
+        params = model.init(rng)
+        params, param_shardings = shard_params(params, mesh, rules)
+        opt_state = jax.jit(
+            tx.init,
+            out_shardings=_opt_state_shardings(tx, params, param_shardings,
+                                               mesh))(params)
+        return params, opt_state, param_shardings
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step_fn(params, opt_state, batch, rng):
+        def loss_fn(p):
+            return model.loss(p, batch, rng)
+        (total, aux), grads = jax.value_and_grad(loss_fn,
+                                                 has_aux=True)(params)
+        grads = model.grad_transform(grads, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = model.post_step(params, batch)
+        return params, opt_state, total, aux
+
+    return step_fn, init_fn
+
+
+def make_parallel_eval_step(model, mesh, at=(50, 100)):
+    """Eval step with users sharded over 'data': each device scores its
+    users against the (possibly row-sharded) catalog and computes metrics;
+    per-user outputs gather back to the host."""
+    from openrec_tpu.metrics import AUC, NDCG, Precision, Recall
+
+    bs = batch_sharding(mesh)
+    at = tuple(at)
+
+    @partial(jax.jit, in_shardings=(None, bs, bs, bs))
+    def eval_step(params, user_id, pos_mask, excl_mask):
+        pred = model.score(params, {"user_id": user_id})
+        return {
+            "AUC": AUC(pos_mask, pred, excl_mask),
+            "Recall": Recall(pos_mask, pred, excl_mask, at=at),
+            "NDCG": NDCG(pos_mask, pred, excl_mask, at=at),
+            "Precision": Precision(pos_mask, pred, excl_mask, at=at),
+        }
+
+    return eval_step

@@ -1,0 +1,97 @@
+"""Serving accelerators.
+
+Parity: FastDotProductServer (reference openrec/tf1/
+fast_dot_product_server.py:57-150) — for any model whose serving scores
+reduce to u·v + b, cache all user/item embeddings once after training and
+serve via a single matmul; a dirty flag re-caches after updates.
+
+In JAX the elaborate placeholder-assign machinery of the reference
+(_FastDotProductRecommender, :8-54) collapses to: materialize (U, V, b) with
+user-provided extractor functions, keep them on device, and jit the matmul
+(plus top-k). Batched extraction still exists for models whose item vectors
+are produced by feature MLPs over huge catalogs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CachedDotProductScorer:
+    """Cache embeddings once; serve full-catalog scores / top-k by matmul.
+
+    extract_user_vecs(params, user_ids) -> [B, D]
+    extract_item_vecs(params, item_ids) -> [B, D]
+    extract_item_bias(params, item_ids) -> [B] or [B, 1] (optional)
+    """
+
+    def __init__(self, model, total_users: int, total_items: int,
+                 extract_user_vecs: Callable,
+                 extract_item_vecs: Callable,
+                 extract_item_bias: Optional[Callable] = None,
+                 extract_batch_size: int = 8192):
+        self.model = model
+        self.total_users = total_users
+        self.total_items = total_items
+        self._extract_user = jax.jit(extract_user_vecs)
+        self._extract_item = jax.jit(extract_item_vecs)
+        self._extract_bias = (jax.jit(extract_item_bias)
+                              if extract_item_bias else None)
+        self._bs = extract_batch_size
+        self._dirty = True
+        self._U = self._V = self._b = None
+
+        @jax.jit
+        def _scores(U_rows, V, b):
+            return U_rows @ V.T + b
+
+        @jax.jit
+        def _topk(U_rows, V, b, k):
+            return jax.lax.top_k(U_rows @ V.T + b, k)
+
+        self._scores_fn = _scores
+        self._topk_fn = _topk
+
+    def mark_dirty(self):
+        """Call after any training that changes params (the reference flips
+        `_model_updated` inside its trainer, fast_dot_product_server.py:
+        132-141)."""
+        self._dirty = True
+
+    def _extract_all(self, extract, total, params):
+        outs = []
+        for lo in range(0, total, self._bs):
+            ids = jnp.arange(lo, min(lo + self._bs, total))
+            outs.append(np.asarray(extract(params, ids)))
+        return jnp.asarray(np.concatenate(outs, axis=0))
+
+    def cache(self, params):
+        self._U = self._extract_all(self._extract_user, self.total_users,
+                                    params)
+        self._V = self._extract_all(self._extract_item, self.total_items,
+                                    params)
+        if self._extract_bias is not None:
+            b = self._extract_all(self._extract_bias, self.total_items,
+                                  params)
+            self._b = jnp.reshape(b, (-1,))
+        else:
+            self._b = jnp.zeros((self.total_items,))
+        self._dirty = False
+
+    def serve(self, params, user_ids):
+        """Full-catalog scores [B, total_items]."""
+        if self._dirty:
+            self.cache(params)
+        return self._scores_fn(self._U[jnp.asarray(user_ids)], self._V,
+                               self._b)
+
+    def topk(self, params, user_ids, k: int = 100):
+        """(scores, item_ids) of the top-k items per user."""
+        if self._dirty:
+            self.cache(params)
+        return self._topk_fn(self._U[jnp.asarray(user_ids)], self._V,
+                             self._b, k)

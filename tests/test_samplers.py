@@ -1,0 +1,148 @@
+import numpy as np
+
+from openrec_tpu.data import Dataset, InteractionStore
+from openrec_tpu.data.samplers import (
+    EvaluationSampler, NPairwiseSampler, PairwiseSampler,
+    PerPosStratifiedPointwiseSampler, RandomPointwiseSampler,
+    StratifiedPointwiseSampler, TemporalEvaluationSampler, TemporalSampler)
+from tests.conftest import make_interactions
+
+
+def _store(**kw):
+    data = make_interactions(**kw)
+    return InteractionStore(data, total_users=40, total_items=100, seed=0,
+                            **({"sortby": "ts"} if kw.get("timestamps")
+                               else {}))
+
+
+def test_pairwise_sampler_shapes_and_validity():
+    store = _store()
+    s = PairwiseSampler(store, batch_size=64, seed=1)
+    batch = s.sample()
+    assert batch["user_id"].shape == (64,)
+    assert store.is_positive(batch["user_id"], batch["p_item_id"]).all()
+    assert not store.is_positive(batch["user_id"], batch["n_item_id"]).any()
+
+
+def test_npairwise_sampler():
+    store = _store()
+    s = NPairwiseSampler(store, batch_size=16, num_negatives=5, seed=1)
+    b = s.sample()
+    assert b["n_item_id"].shape == (16, 5)
+    u = np.repeat(b["user_id"], 5)
+    assert not store.is_positive(u, b["n_item_id"].reshape(-1)).any()
+
+
+def test_stratified_pointwise():
+    store = _store()
+    s = StratifiedPointwiseSampler(store, batch_size=100, pos_ratio=0.3,
+                                   seed=2)
+    b = s.sample()
+    assert b["label"].sum() == 30
+    pos_sel = b["label"] == 1.0
+    assert store.is_positive(b["user_id"][pos_sel],
+                             b["item_id"][pos_sel]).all()
+    neg_sel = ~pos_sel
+    assert not store.is_positive(b["user_id"][neg_sel],
+                                 b["item_id"][neg_sel]).any()
+
+
+def test_per_pos_stratified_pointwise():
+    store = _store()
+    s = PerPosStratifiedPointwiseSampler(store, batch_size=90, pos_ratio=0.5,
+                                         seed=2)
+    b = s.sample()
+    assert b["user_id"].shape == (90,)
+    pos_sel = b["label"] == 1.0
+    assert store.is_positive(b["user_id"][pos_sel],
+                             b["item_id"][pos_sel]).all()
+
+
+def test_random_pointwise_labels_match_membership():
+    store = _store()
+    s = RandomPointwiseSampler(store, batch_size=200, seed=3)
+    b = s.sample()
+    expect = store.is_positive(b["user_id"], b["item_id"]).astype(np.float32)
+    assert (b["label"] == expect).all()
+
+
+def test_temporal_sampler_windows():
+    store = _store(timestamps=True)
+    s = TemporalSampler(store, batch_size=32, max_seq_len=5, seed=4)
+    b = s.sample()
+    assert b["seq_item_id"].shape == (32, 5)
+    assert (b["seq_len"] >= 1).all() and (b["seq_len"] <= 5).all()
+    # Window items + label are consecutive in the user's sorted history.
+    for k in range(32):
+        u = b["user_id"][k]
+        hist = store.get_positive_items(u, sort=True).tolist()
+        L = b["seq_len"][k]
+        window = b["seq_item_id"][k][:L].tolist()
+        label = b["label"][k]
+        pos = hist.index(label)
+        assert hist[pos - L:pos] == window
+    # Padding is zero after seq_len.
+    for k in range(32):
+        assert (b["seq_item_id"][k][b["seq_len"][k]:] == 0).all()
+
+
+def test_temporal_evaluation_last_item_holdout():
+    store = _store(timestamps=True)
+    s = TemporalEvaluationSampler(store, batch_size=16, max_seq_len=5)
+    seen_users = []
+    for b in s.epoch():
+        for k in range(16):
+            if not b["valid"][k]:
+                continue
+            u = b["user_id"][k]
+            seen_users.append(u)
+            hist = store.get_positive_items(u, sort=True).tolist()
+            assert b["label"][k] == hist[-1]
+            L = b["seq_len"][k]
+            assert b["seq_item_id"][k][:L].tolist() == hist[-1 - L:-1]
+    assert sorted(seen_users) == sorted(store.warm_users()[
+        store.user_positive_counts()[store.warm_users()] > 1].tolist())
+
+
+def test_evaluation_sampler_masks():
+    train = make_interactions(seed=0)
+    val = make_interactions(seed=5)
+    train_store = InteractionStore(train, 40, 100, seed=0)
+    val_store = InteractionStore(val, 40, 100, seed=0)
+    ev = EvaluationSampler(val_store, batch_size=16,
+                           excl_stores=[train_store])
+    users_seen = 0
+    for batch in ev:
+        assert batch["pos_mask"].shape == (16, 100)
+        for k in range(16):
+            if not batch["valid"][k]:
+                # padded row: everything excluded, nothing positive
+                assert not batch["pos_mask"][k].any()
+                assert batch["excl_mask"][k].all()
+                continue
+            users_seen += 1
+            u = batch["user_id"][k]
+            pos = set(val_store.get_positive_items(u).tolist())
+            assert set(np.flatnonzero(batch["pos_mask"][k]).tolist()) == pos
+            excl = set(np.flatnonzero(batch["excl_mask"][k]).tolist())
+            train_pos = set(train_store.get_positive_items(u).tolist())
+            assert excl == train_pos
+    assert users_seen == len(val_store.warm_users())
+
+
+def test_worker_seed_folding_gives_distinct_streams():
+    store = _store()
+    s = PairwiseSampler(store, batch_size=64, seed=1)
+    a = s.with_seed((1, 0)).sample()
+    b = s.with_seed((1, 1)).sample()
+    assert not (a["user_id"] == b["user_id"]).all()
+
+
+def test_dataset_facade_prefetch():
+    data = make_interactions()
+    ds = Dataset(data, 40, 100, seed=0)
+    n = 0
+    for batch in ds.pairwise(batch_size=32, num_parallel_calls=2, take=5):
+        assert batch["user_id"].shape == (32,)
+        n += 1
+    assert n == 5
