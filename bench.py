@@ -25,7 +25,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
 
 USERS, ITEMS, DIM, BATCH = 5551, 16980, 50, 1000
-WARMUP_STEPS, MEASURE_STEPS = 20, 200
+WARMUP_STEPS, MEASURE_STEPS = 20, 2000
 
 
 def synth_interactions(n=204057, seed=0):
@@ -37,7 +37,39 @@ def synth_interactions(n=204057, seed=0):
     return data
 
 
-def measure_ours():
+def _measure_device_path(steps_per_call):
+    """On-device sampling fused with the train step
+    (Trainer.train_steps_device): zero host work per step."""
+    import jax
+
+    from openrec_tpu.data import InteractionStore
+    from openrec_tpu.data.device_sampler import DevicePairwiseSampler
+    from openrec_tpu.models import BPR
+    from openrec_tpu.training import Trainer
+
+    store = InteractionStore(synth_interactions(), USERS, ITEMS, seed=0)
+    model = BPR(total_users=USERS, total_items=ITEMS, dim_user_embed=DIM,
+                dim_item_embed=DIM)
+    tr = Trainer(model, lr=1e-3, seed=0)
+    sampler = DevicePairwiseSampler(store, batch_size=BATCH)
+
+    tr.train_steps_device(sampler, steps_per_call)   # compile + warm
+    tr.train_steps_device(sampler, steps_per_call)
+    jax.block_until_ready(tr.params)
+
+    t0 = time.perf_counter()
+    n_calls = max(1, MEASURE_STEPS // steps_per_call)
+    for _ in range(n_calls):
+        tr.train_steps_device(sampler, steps_per_call)
+    jax.block_until_ready(tr.params)
+    dt = time.perf_counter() - t0
+    return n_calls * steps_per_call * BATCH / dt
+
+
+def _measure_host_path(steps_per_call):
+    """Host-side sampling (reference-exact semantics) + fused multi-step
+    dispatch (Trainer.train_step_multi); host work overlaps device
+    execution via async dispatch."""
     import jax
 
     from openrec_tpu.data import Dataset
@@ -48,20 +80,35 @@ def measure_ours():
     model = BPR(total_users=USERS, total_items=ITEMS, dim_user_embed=DIM,
                 dim_item_embed=DIM)
     tr = Trainer(model, lr=1e-3, seed=0)
-    batches = ds.pairwise(batch_size=BATCH, num_parallel_calls=2)
+    batches = ds.pairwise(batch_size=BATCH, num_parallel_calls=4)
     it = iter(batches)
 
-    for _ in range(WARMUP_STEPS):
-        tr.train_step(next(it))
+    def chunk():
+        return [next(it) for _ in range(steps_per_call)]
+
+    tr.train_step_multi(chunk())
+    tr.train_step_multi(chunk())
     jax.block_until_ready(tr.params)
 
     t0 = time.perf_counter()
-    for _ in range(MEASURE_STEPS):
-        tr.train_step(next(it))
+    n_calls = max(1, MEASURE_STEPS // steps_per_call)
+    for _ in range(n_calls):
+        tr.train_step_multi(chunk())
     jax.block_until_ready(tr.params)
     dt = time.perf_counter() - t0
     batches.stop()
-    return MEASURE_STEPS * BATCH / dt
+    return n_calls * steps_per_call * BATCH / dt
+
+
+def measure_ours(steps_per_call=200):
+    """Best supported configuration (both are the same per-step math as
+    the reference loop: uniform positive record + rejection-sampled
+    negative, BPR loss + l2, Adam with sparse embedding semantics)."""
+    host = _measure_host_path(steps_per_call)
+    device = _measure_device_path(steps_per_call)
+    print(f"host-sampled: {host:.0f} ex/s  device-sampled: {device:.0f} "
+          "ex/s", file=sys.stderr)
+    return max(host, device)
 
 
 def measure_tf_reference():

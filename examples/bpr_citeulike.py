@@ -1,0 +1,49 @@
+"""BPR on CiteULike — mirror of reference tf2_examples/bpr_citeulike.py.
+
+Runs on real data when `dataset/citeulike/` exists (same .npy layout as the
+reference's download script); otherwise falls back to a synthetic dataset
+of identical shape so the pipeline is runnable anywhere.
+"""
+
+import os
+
+from openrec_tpu import Dataset, Trainer
+from openrec_tpu.data import loaders
+from openrec_tpu.models import BPR
+
+dim_embed = 50
+total_iter = int(1e5)
+batch_size = 1000
+eval_interval = 1000
+save_interval = eval_interval
+
+if os.path.isdir("dataset/citeulike"):
+    raw_data = loaders.load_citeulike("dataset/")
+else:
+    print("dataset/citeulike not found — using synthetic data")
+    raw_data = loaders.synthetic_citeulike()
+
+train_dataset = Dataset(raw_data=raw_data["train_data"],
+                        total_users=raw_data["total_users"],
+                        total_items=raw_data["total_items"])
+val_dataset = Dataset(raw_data=raw_data["val_data"],
+                      total_users=raw_data["total_users"],
+                      total_items=raw_data["total_items"])
+
+bpr_model = BPR(total_users=raw_data["total_users"],
+                total_items=raw_data["total_items"],
+                dim_user_embed=dim_embed,
+                dim_item_embed=dim_embed)
+
+trainer = Trainer(bpr_model, lr=1e-3, save_model_dir="bpr_citeulike_ckpt")
+trainer.train(
+    total_iter=total_iter,
+    train_batches=train_dataset.pairwise(batch_size=batch_size,
+                                         num_parallel_calls=4),
+    eval_samplers={"val": val_dataset.evaluation(
+        batch_size=batch_size, excl_datasets=[train_dataset])},
+    eval_interval=eval_interval,
+    save_interval=save_interval,
+    at=(50, 100),
+    steps_per_call=100,
+)

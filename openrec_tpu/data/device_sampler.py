@@ -1,0 +1,119 @@
+"""Device-side (on-TPU) batch sampling.
+
+The host pipeline (samplers.py) mirrors the reference's semantics exactly.
+This module is the TPU-native alternative: the interaction index lives in
+device memory (a sorted composite-key array + flat record arrays — a few MB
+even for Amazon-scale data), and batch construction happens INSIDE the
+jitted train program:
+
+  - positive picks: uniform records (with replacement);
+  - negatives: uniform over the catalog with `REJECT_ROUNDS` fixed
+    resampling rounds against the sorted-key membership index. Residual
+    positive probability after R rounds is density^(R+1) — for CiteULike
+    (density 2e-3) that is < 1e-13 at R=4; the same check the host sampler
+    does exactly (store.py:171-189), made XLA-shaped (static rounds).
+
+Fused with Trainer.train_steps_device, the input pipeline costs zero
+host↔device transfers and zero host CPU — the whole train loop is one
+device program per K steps. Under a mesh, each data shard folds its
+axis index into the RNG so shards draw disjoint streams (the fix for the
+reference's duplicate-batch race, SURVEY.md §5.2, applied on device).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REJECT_ROUNDS = 4
+
+
+class DevicePairwiseSampler:
+    """On-device (user, pos, neg) triplet sampler over a static index."""
+
+    def __init__(self, store, batch_size: int):
+        self.batch_size = int(batch_size)
+        self.total_items = store.total_items()
+        # TPUs emulate int64 (2x int32 ops); use int32 keys whenever
+        # user*I+item fits, which covers catalogs up to ~2B pairs.
+        fits32 = store.total_users() * store.total_items() < 2 ** 31
+        self._key_dtype = jnp.int32 if fits32 else jnp.int64
+        self._pos_keys = jnp.asarray(store._pos_keys.astype(
+            np.int32 if fits32 else np.int64))
+        self._rec_users = jnp.asarray(store._pos_users, dtype=jnp.int32)
+        self._rec_items = jnp.asarray(store._pos_items, dtype=jnp.int32)
+        self.num_records = int(self._rec_users.shape[0])
+
+    def is_positive(self, users, items):
+        keys = users.astype(self._key_dtype) * self.total_items \
+            + items.astype(self._key_dtype)
+        idx = jnp.searchsorted(self._pos_keys, keys)
+        idx = jnp.clip(idx, 0, self._pos_keys.shape[0] - 1)
+        return self._pos_keys[idx] == keys
+
+    def sample(self, rng):
+        """rng -> batch dict of device arrays; pure & jit-safe."""
+        r_rec, r_neg = jax.random.split(rng)
+        idx = jax.random.randint(r_rec, (self.batch_size,), 0,
+                                 self.num_records)
+        users = self._rec_users[idx]
+        pos = self._rec_items[idx]
+
+        neg = jax.random.randint(
+            jax.random.fold_in(r_neg, 0), (self.batch_size,), 0,
+            self.total_items, dtype=jnp.int32)
+        for round_i in range(1, REJECT_ROUNDS + 1):
+            bad = self.is_positive(users, neg)
+            resample = jax.random.randint(
+                jax.random.fold_in(r_neg, round_i), (self.batch_size,), 0,
+                self.total_items, dtype=jnp.int32)
+            neg = jnp.where(bad, resample, neg)
+        return {"user_id": users, "p_item_id": pos, "n_item_id": neg}
+
+
+class DevicePointwiseSampler:
+    """On-device stratified pointwise batches (pos_ratio mix)."""
+
+    def __init__(self, store, batch_size: int, pos_ratio: float = 0.5):
+        self.batch_size = int(batch_size)
+        self.n_pos = int(batch_size * pos_ratio)
+        self.total_users = store.total_users()
+        self.total_items = store.total_items()
+        self._pos_keys = jnp.asarray(store._pos_keys)
+        self._rec_users = jnp.asarray(store._pos_users, dtype=jnp.int32)
+        self._rec_items = jnp.asarray(store._pos_items, dtype=jnp.int32)
+        self.num_records = int(self._rec_users.shape[0])
+
+    def is_positive(self, users, items):
+        keys = users.astype(jnp.int64) * self.total_items \
+            + items.astype(jnp.int64)
+        idx = jnp.searchsorted(self._pos_keys, keys)
+        idx = jnp.clip(idx, 0, self._pos_keys.shape[0] - 1)
+        return self._pos_keys[idx] == keys
+
+    def sample(self, rng):
+        B, P = self.batch_size, self.n_pos
+        r_rec, r_u, r_i = jax.random.split(rng, 3)
+        idx = jax.random.randint(r_rec, (P,), 0, self.num_records)
+        users = jnp.zeros((B,), jnp.int32)
+        items = jnp.zeros((B,), jnp.int32)
+        users = users.at[:P].set(self._rec_users[idx])
+        items = items.at[:P].set(self._rec_items[idx])
+
+        nu = jax.random.randint(jax.random.fold_in(r_u, 0), (B - P,), 0,
+                                self.total_users, dtype=jnp.int32)
+        ni = jax.random.randint(jax.random.fold_in(r_i, 0), (B - P,), 0,
+                                self.total_items, dtype=jnp.int32)
+        for round_i in range(1, REJECT_ROUNDS + 1):
+            bad = self.is_positive(nu, ni)
+            nu = jnp.where(bad, jax.random.randint(
+                jax.random.fold_in(r_u, round_i), (B - P,), 0,
+                self.total_users, dtype=jnp.int32), nu)
+            ni = jnp.where(bad, jax.random.randint(
+                jax.random.fold_in(r_i, round_i), (B - P,), 0,
+                self.total_items, dtype=jnp.int32), ni)
+        users = users.at[P:].set(nu)
+        items = items.at[P:].set(ni)
+        labels = jnp.zeros((B,), jnp.float32).at[:P].set(1.0)
+        return {"user_id": users, "item_id": items, "label": labels}

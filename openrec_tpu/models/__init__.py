@@ -12,3 +12,4 @@ from openrec_tpu.models.user_feature import UserPMF, UserVisualPMF
 from openrec_tpu.models.cdl import CDL
 from openrec_tpu.models.itr_mlp import ItrMLP
 from openrec_tpu.models.sequence import RNNRec, VanillaYouTubeRec, YouTubeRec
+from openrec_tpu.models.ncf import MLPRec, NeuMF

@@ -80,7 +80,8 @@ class DLRM(Recommender):
 
     def predict(self, params, dense_features, sparse_features):
         """dense: [B, dim_dense]; sparse: [B, num_tables] int → [B] preds."""
-        sparse_vecs = [jnp.take(tbl, sparse_features[:, i], axis=0)
+        from openrec_tpu.modules.embedding import embedding_lookup
+        sparse_vecs = [embedding_lookup(tbl, sparse_features[:, i])
                        for i, tbl in enumerate(params["embed_tables"])]
         dense_vec = self._mlp_bot.apply(params["mlp_bot"], dense_features)
 

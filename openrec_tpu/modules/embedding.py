@@ -28,7 +28,10 @@ def embedding_init(rng, num: int, dim: int, zero_init: bool = False,
                               minval=-scale, maxval=scale)
 
 
-def embedding_lookup(table: jnp.ndarray, ids) -> jnp.ndarray:
+def embedding_lookup(table, ids) -> jnp.ndarray:
+    # SubTable views (training/sparse.py) carry their own id remapping.
+    if hasattr(table, "lookup"):
+        return table.lookup(ids)
     # mode='clip': out-of-range ids clamp to the nearest row instead of
     # producing NaN fills (jnp.take's default 'fill' mode); also lowers to
     # the cheapest TPU gather.

@@ -103,3 +103,18 @@ def shard_params(params, mesh: Mesh, rules=DEFAULT_RULES):
     shardings = match_partition_rules(rules, params, mesh)
     placed = jax.tree_util.tree_map(jax.device_put, params, shardings)
     return placed, shardings
+
+
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Join a multi-host (DCN) training job, then build meshes as usual —
+    jax.devices() becomes the global device list and 'data' lays out
+    across hosts (major axis) while 'model' stays within-host (ICI).
+
+    On TPU pods with standard env metadata all arguments are inferred;
+    pass them explicitly for manual (e.g. localhost multi-process) setups.
+    """
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index(), jax.process_count()

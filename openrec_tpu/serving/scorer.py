@@ -49,7 +49,9 @@ class CachedDotProductScorer:
         def _scores(U_rows, V, b):
             return U_rows @ V.T + b
 
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=3)
         def _topk(U_rows, V, b, k):
             return jax.lax.top_k(U_rows @ V.T + b, k)
 

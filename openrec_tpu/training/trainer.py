@@ -70,6 +70,7 @@ class Trainer:
         self._step = self._build_step()
         self._score = jax.jit(self.model.score)
         self._eval_step_cache = {}
+        self._multi_step_cache = {}
         self.global_step = 0
 
     # ------------------------------------------------------------------ #
@@ -100,6 +101,93 @@ class Trainer:
             self.params, self.opt_state, batch, step_rng)
         self.global_step += 1
         return loss, aux
+
+    def _build_multi_step(self, k: int):
+        model, tx = self.model, self.tx
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def multi_step(params, opt_state, stacked, rng):
+            rngs = jax.random.split(rng, k)
+
+            def body(carry, xs):
+                params, opt_state = carry
+                batch, step_rng = xs
+
+                def loss_fn(p):
+                    return model.loss(p, batch, step_rng)
+                (total, _), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                grads = model.grad_transform(grads, batch)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                params = model.post_step(params, batch)
+                return (params, opt_state), total
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), (stacked, rngs))
+            return params, opt_state, losses
+
+        return multi_step
+
+    def _build_device_loop(self, sampler, k: int):
+        model, tx = self.model, self.tx
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def device_loop(params, opt_state, rng):
+            rngs = jax.random.split(rng, k)
+
+            def body(carry, step_rng):
+                params, opt_state = carry
+                r_sample, r_loss = jax.random.split(step_rng)
+                batch = sampler.sample(r_sample)
+
+                def loss_fn(p):
+                    return model.loss(p, batch, r_loss)
+                (total, _), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+                grads = model.grad_transform(grads, batch)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                params = model.post_step(params, batch)
+                return (params, opt_state), total
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), rngs)
+            return params, opt_state, losses
+
+        return device_loop
+
+    def train_steps_device(self, sampler, k: int):
+        """K optimizer steps with ON-DEVICE batch sampling — the whole
+        loop (sampling + step + hooks) is one XLA program; the host only
+        supplies an RNG key. `sampler` is a Device*Sampler
+        (openrec_tpu.data.device_sampler)."""
+        key = (id(sampler), k)
+        if key not in self._multi_step_cache:
+            self._multi_step_cache[key] = self._build_device_loop(sampler,
+                                                                  k)
+        self.rng, loop_rng = jax.random.split(self.rng)
+        self.params, self.opt_state, losses = self._multi_step_cache[key](
+            self.params, self.opt_state, loop_rng)
+        self.global_step += k
+        return losses
+
+    def train_step_multi(self, batches: list):
+        """K optimizer steps in ONE device dispatch (lax.scan over stacked
+        batches). Identical math to K train_step calls; removes K-1 host
+        round-trips — the dominant cost on TPU for small models. Returns
+        the per-step loss vector."""
+        k = len(batches)
+        if k not in self._multi_step_cache:
+            self._multi_step_cache[k] = self._build_multi_step(k)
+        stacked = {key: jax.numpy.asarray(
+            np.stack([b[key] for b in batches]))
+            for key in batches[0]}
+        self.rng, step_rng = jax.random.split(self.rng)
+        self.params, self.opt_state, losses = self._multi_step_cache[k](
+            self.params, self.opt_state, stacked, step_rng)
+        self.global_step += k
+        return losses
 
     # ------------------------------------------------------------------ #
 
@@ -154,7 +242,8 @@ class Trainer:
               save_interval: Optional[int] = None,
               at=(50, 100),
               eval_fn: Callable = None,
-              train_iter_hook: Callable = None) -> dict:
+              train_iter_hook: Callable = None,
+              steps_per_call: int = 1) -> dict:
         """Iteration-driven loop (reference model_trainer.py:60-97).
 
         train_batches: iterable of batch dicts (e.g. Dataset.pairwise(...)).
@@ -162,6 +251,8 @@ class Trainer:
           eval_interval iterations.
         train_iter_hook: optional f(trainer, batch) replacing the default
           step (the analog of a custom train_iter_func).
+        steps_per_call: fuse this many optimizer steps into one device
+          dispatch (see train_step_multi); intervals should be multiples.
         Returns the last eval results.
         """
         eval_samplers = eval_samplers or {}
@@ -169,16 +260,23 @@ class Trainer:
         last_results = {}
         t_start = time.time()
         it = iter(train_batches)
+        assert steps_per_call == 1 or train_iter_hook is None, \
+            "train_iter_hook requires steps_per_call=1"
 
         self._log(_color(f"[openrec_tpu] start training "
                          f"{type(self.model).__name__} for {total_iter} "
                          "iterations", "1;34"))
-        for i in range(1, total_iter + 1):
-            batch = next(it)
-            if train_iter_hook is not None:
-                loss = train_iter_hook(self, batch)
+        i = 0
+        while i < total_iter:
+            chunk = min(steps_per_call, total_iter - i)
+            i += chunk
+            if chunk > 1:
+                loss = self.train_step_multi(
+                    [next(it) for _ in range(chunk)])
+            elif train_iter_hook is not None:
+                loss = train_iter_hook(self, next(it))
             else:
-                loss, _ = self.train_step(batch)
+                loss, _ = self.train_step(next(it))
             avg_loss.update_state(jax.device_get(loss))
 
             if save_interval and self.save_model_dir \
@@ -213,6 +311,23 @@ class Trainer:
         if hasattr(train_batches, "stop"):
             train_batches.stop()
         return last_results
+
+    # ------------------------------------------------------------------ #
+
+    def profile(self, train_batches, steps: int = 20,
+                trace_dir: str = "/tmp/openrec_tpu_trace"):
+        """Capture a device trace over `steps` train steps (the tracing
+        subsystem the reference lacks, SURVEY.md §5.1). View with
+        TensorBoard's profile plugin or xprof."""
+        it = iter(train_batches)
+        self.train_step(next(it))                    # compile outside trace
+        jax.block_until_ready(self.params)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(steps):
+                self.train_step(next(it))
+            jax.block_until_ready(self.params)
+        self._log(f"trace written to {trace_dir}")
+        return trace_dir
 
     # ------------------------------------------------------------------ #
 

@@ -1,0 +1,108 @@
+"""O(batch) sparse step (gather→Adam→scatter) vs the masked lazy_adam
+oracle: identical math, different data movement."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from openrec_tpu.data.samplers import PairwiseSampler
+from openrec_tpu.data.store import InteractionStore
+from openrec_tpu.models import BPR
+from openrec_tpu.training.optim import lazy_adam
+from openrec_tpu.training.sparse import (
+    make_sparse_train_step, unique_padded)
+from tests.conftest import make_interactions
+
+SPECS = {"user_embed": ["user_id"],
+         "item_embed": ["p_item_id", "n_item_id"],
+         "item_bias": ["p_item_id", "n_item_id"]}
+
+
+def test_unique_padded():
+    ids = jnp.asarray([5, 3, 5, 9, 3, 3])
+    uids, valid = unique_padded(ids, 6)
+    np.testing.assert_array_equal(np.asarray(uids), [3, 5, 9, 9, 9, 9])
+    np.testing.assert_array_equal(np.asarray(valid),
+                                  [True, True, True, False, False, False])
+
+
+def _setup():
+    store = InteractionStore(make_interactions(), 40, 100, seed=0)
+    model = BPR(total_users=40, total_items=100, dim_user_embed=8,
+                dim_item_embed=8, l2_weight=0.0)
+    params = model.init(jax.random.PRNGKey(0))
+    s = PairwiseSampler(store, batch_size=64, seed=0)
+    return model, params, s
+
+
+def test_sparse_step_matches_lazy_adam():
+    model, params, s = _setup()
+    batches = [{k: jnp.asarray(v) for k, v in s.sample().items()}
+               for _ in range(5)]
+
+    # oracle: dense masked lazy_adam
+    tx = lazy_adam(0.01)
+    p_ref = params
+    st_ref = tx.init(p_ref)
+    for b in batches:
+        grads = jax.grad(lambda p: model.loss(p, b)[0])(p_ref)
+        upd, st_ref = tx.update(grads, st_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, upd)
+
+    # sparse gather/scatter path
+    init_fn, step_fn, _ = make_sparse_train_step(model, SPECS,
+                                                 learning_rate=0.01)
+    p = params
+    st = init_fn(p)
+    for b in batches:
+        p, st, loss = step_fn(p, st, b, jax.random.PRNGKey(0))
+
+    for key in ("user_embed", "item_embed", "item_bias"):
+        np.testing.assert_allclose(np.asarray(p[key]),
+                                   np.asarray(p_ref[key]),
+                                   rtol=1e-4, atol=1e-7), key
+
+
+def test_sparse_step_leaves_untouched_rows():
+    model, params, s = _setup()
+    b = {k: jnp.asarray(v) for k, v in s.sample().items()}
+    init_fn, step_fn, _ = make_sparse_train_step(model, SPECS,
+                                                 learning_rate=0.1)
+    st = init_fn(params)
+    p, st, _ = step_fn(params, st, b, jax.random.PRNGKey(0))
+    touched = set(np.asarray(b["user_id"]).tolist())
+    ue = np.asarray(p["user_embed"])
+    # jit donation invalidates `params`; re-init for comparison
+    orig = np.asarray(model.init(jax.random.PRNGKey(0))["user_embed"])
+    for u in range(40):
+        if u in touched:
+            assert not np.allclose(ue[u], orig[u])
+        else:
+            np.testing.assert_array_equal(ue[u], orig[u])
+
+
+def test_sparse_device_loop_learns():
+    from openrec_tpu.data.device_sampler import DevicePairwiseSampler
+    from openrec_tpu.training.sparse import make_sparse_device_loop
+    from tests.conftest import make_low_rank
+
+    train, test = make_low_rank()
+    store = InteractionStore(train, 64, 256, seed=0)
+    model = BPR(total_users=64, total_items=256, dim_user_embed=16,
+                dim_item_embed=16, l2_weight=0.0)
+    sampler = DevicePairwiseSampler(store, batch_size=512)
+    init_fn, loop_fn = make_sparse_device_loop(
+        model, SPECS, sampler, k=100, learning_rate=0.05)
+    params = model.init(jax.random.PRNGKey(0))
+    st = init_fn(params)
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for i in range(10):
+        rng, sub = jax.random.split(rng)
+        params, st, losses = loop_fn(params, st, sub)
+        if first is None:
+            first = float(np.mean(np.asarray(losses)))
+    last = float(np.mean(np.asarray(losses)))
+    assert np.isfinite(last)
+    assert last < first, (first, last)

@@ -1,0 +1,57 @@
+"""Fused multi-step training == sequential single steps."""
+
+import numpy as np
+
+from openrec_tpu.data.samplers import PairwiseSampler
+from openrec_tpu.data.store import InteractionStore
+from openrec_tpu.models import BPR, UCML
+from openrec_tpu.training import Trainer
+from tests.conftest import make_interactions
+
+
+def _batches(n, seed=0):
+    store = InteractionStore(make_interactions(), 40, 100, seed=seed)
+    s = PairwiseSampler(store, batch_size=32, seed=seed)
+    return [s.sample() for _ in range(n)]
+
+
+def test_multi_step_matches_sequential():
+    batches = _batches(6)
+    model = BPR(total_users=40, total_items=100, dim_user_embed=8,
+                dim_item_embed=8)
+
+    tr_seq = Trainer(model, lr=0.01, seed=0)
+    seq_losses = [float(tr_seq.train_step(b)[0]) for b in batches]
+
+    tr_multi = Trainer(model, lr=0.01, seed=0)
+    multi_losses = np.asarray(tr_multi.train_step_multi(batches))
+
+    np.testing.assert_allclose(multi_losses, seq_losses, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tr_multi.params["item_embed"]),
+                               np.asarray(tr_seq.params["item_embed"]),
+                               rtol=1e-5, atol=1e-7)
+    assert tr_multi.global_step == tr_seq.global_step == 6
+
+
+def test_multi_step_runs_post_step_hooks():
+    batches = _batches(4)
+    model = UCML(total_users=40, total_items=100, dim_user_embed=8,
+                 dim_item_embed=8, l2_weight=0.0)
+    tr = Trainer(model, lr=0.05, seed=0)
+    tr.train_step_multi(batches)
+    touched = np.unique(np.concatenate(
+        [np.concatenate([b["p_item_id"], b["n_item_id"]])
+         for b in batches[-1:]]))
+    norms = np.linalg.norm(
+        np.asarray(tr.params["item_embed"])[touched], axis=1)
+    assert norms.max() <= 1.0 + 1e-4
+
+
+def test_train_loop_with_steps_per_call():
+    store = InteractionStore(make_interactions(), 40, 100, seed=0)
+    s = PairwiseSampler(store, batch_size=32, seed=0)
+    model = BPR(total_users=40, total_items=100, dim_user_embed=8,
+                dim_item_embed=8)
+    tr = Trainer(model, lr=0.01, seed=0)
+    tr.train(total_iter=20, train_batches=iter(s), steps_per_call=5)
+    assert tr.global_step == 20
