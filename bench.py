@@ -25,7 +25,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
 
 USERS, ITEMS, DIM, BATCH = 5551, 16980, 50, 1000
-WARMUP_STEPS, MEASURE_STEPS = 20, 2000
+WARMUP_STEPS, MEASURE_STEPS = 20, 4000
 
 
 def synth_interactions(n=204057, seed=0):
@@ -72,31 +72,33 @@ def _measure_host_path(steps_per_call):
     execution via async dispatch."""
     import jax
 
-    from openrec_tpu.data import Dataset
+    from openrec_tpu.data import InteractionStore, Prefetcher
+    from openrec_tpu.data.samplers import PairwiseSampler
     from openrec_tpu.models import BPR
     from openrec_tpu.training import Trainer
 
-    ds = Dataset(synth_interactions(), USERS, ITEMS, seed=0)
+    store = InteractionStore(synth_interactions(), USERS, ITEMS, seed=0)
     model = BPR(total_users=USERS, total_items=ITEMS, dim_user_embed=DIM,
                 dim_item_embed=DIM)
     tr = Trainer(model, lr=1e-3, seed=0)
-    batches = ds.pairwise(batch_size=BATCH, num_parallel_calls=4)
-    it = iter(batches)
+    # One flat sampler call per dispatch (k·B examples), prefetched by a
+    # background worker so sampling overlaps device execution.
+    flat_sampler = PairwiseSampler(store, batch_size=steps_per_call * BATCH,
+                                   seed=0)
+    feeder = Prefetcher(flat_sampler, num_workers=2, capacity=4)
+    it = iter(feeder)
 
-    def chunk():
-        return [next(it) for _ in range(steps_per_call)]
-
-    tr.train_step_multi(chunk())
-    tr.train_step_multi(chunk())
+    tr.train_step_multi_flat(next(it), steps_per_call)
+    tr.train_step_multi_flat(next(it), steps_per_call)
     jax.block_until_ready(tr.params)
 
     t0 = time.perf_counter()
     n_calls = max(1, MEASURE_STEPS // steps_per_call)
     for _ in range(n_calls):
-        tr.train_step_multi(chunk())
+        tr.train_step_multi_flat(next(it), steps_per_call)
     jax.block_until_ready(tr.params)
     dt = time.perf_counter() - t0
-    batches.stop()
+    feeder.stop()
     return n_calls * steps_per_call * BATCH / dt
 
 

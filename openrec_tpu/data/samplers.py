@@ -57,9 +57,37 @@ class BatchSampler:
 
 
 class PairwiseSampler(BatchSampler):
-    """(user, positive, uniform-negative) triplets."""
+    """(user, positive, uniform-negative) triplets.
+
+    When the native library is available (openrec_tpu.native, built from
+    sampler.cpp) and the store has no pre-sampled negatives, the join +
+    rejection loop runs in one C++ pass; otherwise vectorized numpy.
+    """
+
+    def __init__(self, store, batch_size, seed=0, use_native=None):
+        super().__init__(store, batch_size, seed)
+        if use_native is None:
+            from openrec_tpu import native
+            use_native = (native.available()
+                          and not store.contain_negatives())
+        self.use_native = bool(use_native)
+        if self.use_native:
+            from openrec_tpu import native
+            self._rec_users = np.ascontiguousarray(
+                store._pos_users, dtype=np.int32)
+            self._rec_items = np.ascontiguousarray(
+                store._pos_items, dtype=np.int32)
+            self._hash_table = native.build_hash_table(store._pos_keys)
 
     def sample(self):
+        if self.use_native:
+            from openrec_tpu import native
+            idx = self.store.next_random_record_indices(self.batch_size)
+            seed = int(self.rng.integers(0, 2 ** 63))
+            u, p, n = native.pairwise_batch_hash(
+                self._hash_table, self._rec_users, self._rec_items,
+                idx, self.store.total_items(), seed)
+            return {"user_id": u, "p_item_id": p, "n_item_id": n}
         rec = self.store.next_random_records(self.batch_size)
         user_id = np.asarray(rec["user_id"], dtype=np.int32)
         p_item_id = np.asarray(rec["item_id"], dtype=np.int32)

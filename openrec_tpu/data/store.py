@@ -152,8 +152,8 @@ class InteractionStore:
     # record stream
     # ------------------------------------------------------------------ #
 
-    def next_random_records(self, n: int) -> np.ndarray:
-        """Return the next `n` records of the epoch-shuffled stream."""
+    def next_random_record_indices(self, n: int) -> np.ndarray:
+        """Next `n` record indices of the epoch-shuffled stream."""
         out = np.empty(n, dtype=np.int64)
         filled = 0
         while filled < n:
@@ -165,7 +165,11 @@ class InteractionStore:
                 self._perm[self._perm_pos:self._perm_pos + take]
             self._perm_pos += take
             filled += take
-        return self._raw_data[out]
+        return out
+
+    def next_random_records(self, n: int) -> np.ndarray:
+        """Return the next `n` records of the epoch-shuffled stream."""
+        return self._raw_data[self.next_random_record_indices(n)]
 
     # ------------------------------------------------------------------ #
     # membership / sampling

@@ -1,0 +1,198 @@
+// Native host-side sampling kernels.
+//
+// The reference's data layer is pure Python running in 5 worker processes
+// (openrec/tf2/data/utils.py:164-214). Our numpy samplers are already
+// whole-batch vectorized; this library removes the remaining per-batch
+// numpy overhead (temporary allocations, multiple passes for rejection
+// rounds) with single-pass C++ loops, so one prefetch thread can saturate
+// the TPU's input needs at large batch sizes.
+//
+// Exposed via ctypes (no pybind11 dependency); every entry point is plain
+// C. RNG is splitmix64 → xorshift128+, seeded per call: results are
+// deterministic given (seed) but intentionally a different stream from the
+// numpy path (both are uniform; tests assert validity, not stream
+// equality).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct Rng {
+  uint64_t s0, s1;
+  explicit Rng(uint64_t seed) {
+    // splitmix64 to expand the seed
+    auto next = [&seed]() {
+      seed += 0x9E3779B97f4A7C15ULL;
+      uint64_t z = seed;
+      z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+      z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+      return z ^ (z >> 31);
+    };
+    s0 = next();
+    s1 = next();
+  }
+  inline uint64_t next() {
+    uint64_t x = s0, y = s1;
+    s0 = y;
+    x ^= x << 23;
+    s1 = x ^ y ^ (x >> 17) ^ (y >> 26);
+    return s1 + y;
+  }
+  // unbiased bounded draw (Lemire)
+  inline uint64_t bounded(uint64_t range) {
+    uint64_t x = next();
+    __uint128_t m = ( __uint128_t )x * ( __uint128_t )range;
+    uint64_t l = (uint64_t)m;
+    if (l < range) {
+      uint64_t t = -range % range;
+      while (l < t) {
+        x = next();
+        m = ( __uint128_t )x * ( __uint128_t )range;
+        l = (uint64_t)m;
+      }
+    }
+    return (uint64_t)(m >> 64);
+  }
+};
+
+inline bool contains(const int64_t* keys, int64_t n, int64_t q) {
+  int64_t lo = 0, hi = n;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (keys[mid] < q) lo = mid + 1; else hi = mid;
+  }
+  return lo < n && keys[lo] == q;
+}
+
+// Open-addressing hash set over int64 keys (EMPTY = -1; keys are
+// nonnegative u*I+i composites). Linear probing, power-of-2 capacity,
+// load factor <= 0.5: ~1.5 probes per lookup vs ~18 for binary search.
+constexpr int64_t kEmpty = -1;
+
+inline uint64_t hash_key(int64_t k) {
+  uint64_t z = (uint64_t)k + 0x9E3779B97f4A7C15ULL;
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+
+inline bool hash_contains(const int64_t* table, uint64_t mask, int64_t q) {
+  uint64_t pos = hash_key(q) & mask;
+  while (true) {
+    int64_t v = table[pos];
+    if (v == q) return true;
+    if (v == kEmpty) return false;
+    pos = (pos + 1) & mask;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fill a caller-allocated hash table (capacity = next pow2 >= 2n,
+// pre-filled with -1) from sorted keys. Returns the capacity used.
+void build_hash_table(const int64_t* keys, int64_t n, int64_t* table,
+                      int64_t capacity) {
+  uint64_t mask = (uint64_t)capacity - 1;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t k = keys[i];
+    uint64_t pos = hash_key(k) & mask;
+    while (table[pos] != kEmpty) pos = (pos + 1) & mask;
+    table[pos] = k;
+  }
+}
+
+// Hash-table variants of the sampling entry points.
+void sample_negatives_hash(const int64_t* table, int64_t capacity,
+                           const int64_t* users, int64_t n,
+                           int64_t total_items, uint64_t seed,
+                           int32_t max_rounds, int32_t* out) {
+  Rng rng(seed);
+  uint64_t mask = (uint64_t)capacity - 1;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t cand = (int64_t)rng.bounded((uint64_t)total_items);
+    for (int32_t r = 0; r < max_rounds; ++r) {
+      if (!hash_contains(table, mask,
+                         users[i] * total_items + cand)) break;
+      cand = (int64_t)rng.bounded((uint64_t)total_items);
+    }
+    out[i] = (int32_t)cand;
+  }
+}
+
+void pairwise_join_and_negatives_hash(
+    const int64_t* table, int64_t capacity,
+    const int32_t* rec_users, const int32_t* rec_items,
+    const int64_t* record_idx, int64_t batch, int64_t total_items,
+    uint64_t seed, int32_t max_rounds,
+    int32_t* out_users, int32_t* out_pos, int32_t* out_neg) {
+  Rng rng(seed);
+  uint64_t mask = (uint64_t)capacity - 1;
+  for (int64_t i = 0; i < batch; ++i) {
+    int64_t r = record_idx[i];
+    int32_t u = rec_users[r];
+    out_users[i] = u;
+    out_pos[i] = rec_items[r];
+    int64_t cand = (int64_t)rng.bounded((uint64_t)total_items);
+    for (int32_t rd = 0; rd < max_rounds; ++rd) {
+      if (!hash_contains(table, mask,
+                         (int64_t)u * total_items + cand)) break;
+      cand = (int64_t)rng.bounded((uint64_t)total_items);
+    }
+    out_neg[i] = (int32_t)cand;
+  }
+}
+
+// out[i] = 1 iff (users[i], items[i]) is an observed positive.
+void is_positive_batch(const int64_t* pos_keys, int64_t n_keys,
+                       const int64_t* users, const int64_t* items,
+                       int64_t n, int64_t total_items, uint8_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    out[i] = contains(pos_keys, n_keys,
+                      users[i] * total_items + items[i]) ? 1 : 0;
+  }
+}
+
+// One uniform non-positive item per user (rejection sampling).
+void sample_negatives(const int64_t* pos_keys, int64_t n_keys,
+                      const int64_t* users, int64_t n, int64_t total_items,
+                      uint64_t seed, int32_t max_rounds, int32_t* out) {
+  Rng rng(seed);
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t cand = (int64_t)rng.bounded((uint64_t)total_items);
+    for (int32_t r = 0; r < max_rounds; ++r) {
+      if (!contains(pos_keys, n_keys, users[i] * total_items + cand)) break;
+      cand = (int64_t)rng.bounded((uint64_t)total_items);
+    }
+    out[i] = (int32_t)cand;
+  }
+}
+
+// Full pairwise batch: pick records uniformly from [0, n_records) using
+// the caller-provided permutation window, join user/item, and draw one
+// negative each. record_idx is filled by the caller (epoch stream).
+void pairwise_join_and_negatives(
+    const int64_t* pos_keys, int64_t n_keys,
+    const int32_t* rec_users, const int32_t* rec_items,
+    const int64_t* record_idx, int64_t batch, int64_t total_items,
+    uint64_t seed, int32_t max_rounds,
+    int32_t* out_users, int32_t* out_pos, int32_t* out_neg) {
+  Rng rng(seed);
+  for (int64_t i = 0; i < batch; ++i) {
+    int64_t r = record_idx[i];
+    int32_t u = rec_users[r];
+    out_users[i] = u;
+    out_pos[i] = rec_items[r];
+    int64_t cand = (int64_t)rng.bounded((uint64_t)total_items);
+    for (int32_t rd = 0; rd < max_rounds; ++rd) {
+      if (!contains(pos_keys, n_keys,
+                    (int64_t)u * total_items + cand)) break;
+      cand = (int64_t)rng.bounded((uint64_t)total_items);
+    }
+    out_neg[i] = (int32_t)cand;
+  }
+}
+
+}  // extern "C"

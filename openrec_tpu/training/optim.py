@@ -51,6 +51,11 @@ def lazy_adam(learning_rate: float = 1e-3, b1: float = 0.9,
         count = state.count + 1
         c1 = 1.0 - b1 ** count.astype(jnp.float32)
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        # Keras Adam formulation (the reference's optimizer): bias
+        # correction folded into the step size, eps OUTSIDE the corrected
+        # sqrt — alpha·m/(sqrt(v)+eps) with alpha = lr·sqrt(c2)/c1. (optax
+        # adds eps to sqrt(v/c2) instead; the forms differ at O(eps).)
+        alpha = learning_rate * jnp.sqrt(c2) / c1
 
         def per_leaf(g, mu, nu):
             if g.ndim >= min_sparse_ndim:
@@ -58,14 +63,12 @@ def lazy_adam(learning_rate: float = 1e-3, b1: float = 0.9,
                     g != 0, axis=tuple(range(1, g.ndim)), keepdims=True)
                 mu_new = jnp.where(touched, b1 * mu + (1 - b1) * g, mu)
                 nu_new = jnp.where(touched, b2 * nu + (1 - b2) * g * g, nu)
-                step = -learning_rate * (mu_new / c1) / (
-                    jnp.sqrt(nu_new / c2) + eps)
+                step = -alpha * mu_new / (jnp.sqrt(nu_new) + eps)
                 step = jnp.where(touched, step, 0.0)
             else:
                 mu_new = b1 * mu + (1 - b1) * g
                 nu_new = b2 * nu + (1 - b2) * g * g
-                step = -learning_rate * (mu_new / c1) / (
-                    jnp.sqrt(nu_new / c2) + eps)
+                step = -alpha * mu_new / (jnp.sqrt(nu_new) + eps)
             return step, mu_new, nu_new
 
         flat_g, treedef = jax.tree_util.tree_flatten(grads)

@@ -162,6 +162,7 @@ def make_sparse_train_step(model, table_specs: Dict[str, Sequence[str]],
         count = sparse_state.count + 1
         c1 = 1.0 - b1 ** count.astype(jnp.float32)
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        alpha = learning_rate * jnp.sqrt(c2) / c1   # keras Adam form
         new_params = dict(dense_params)
         new_mu, new_nu = {}, {}
         for key in table_specs:
@@ -171,8 +172,7 @@ def make_sparse_train_step(model, table_specs: Dict[str, Sequence[str]],
             nu_old = jnp.take(sparse_state.nu[key], uids[key], axis=0)
             mu_rows = b1 * mu_old + (1 - b1) * g
             nu_rows = b2 * nu_old + (1 - b2) * g * g
-            step = -learning_rate * (mu_rows / c1) / (
-                jnp.sqrt(nu_rows / c2) + eps)
+            step = -alpha * mu_rows / (jnp.sqrt(nu_rows) + eps)
             # 5) scatter deltas back (donated → in-place); pads add zero.
             new_params[key] = params[key].at[uids[key]].add(step * v)
             new_mu[key] = sparse_state.mu[key].at[uids[key]].add(

@@ -178,11 +178,24 @@ class Trainer:
         round-trips — the dominant cost on TPU for small models. Returns
         the per-step loss vector."""
         k = len(batches)
+        stacked = {key: np.stack([b[key] for b in batches])
+                   for key in batches[0]}
+        return self._dispatch_multi(stacked, k)
+
+    def train_step_multi_flat(self, flat_batch: dict, k: int):
+        """Like train_step_multi, but takes ONE flat batch of k·B examples
+        (e.g. a single sampler call with batch_size=k*B) and splits it into
+        k sequential steps of B on device — the cheapest host path: one
+        sampler call, no stacking."""
+        stacked = {key: np.asarray(v).reshape(
+            (k, -1) + np.asarray(v).shape[1:])
+            for key, v in flat_batch.items()}
+        return self._dispatch_multi(stacked, k)
+
+    def _dispatch_multi(self, stacked: dict, k: int):
         if k not in self._multi_step_cache:
             self._multi_step_cache[k] = self._build_multi_step(k)
-        stacked = {key: jax.numpy.asarray(
-            np.stack([b[key] for b in batches]))
-            for key in batches[0]}
+        stacked = {key: jax.numpy.asarray(v) for key, v in stacked.items()}
         self.rng, step_rng = jax.random.split(self.rng)
         self.params, self.opt_state, losses = self._multi_step_cache[k](
             self.params, self.opt_state, stacked, step_rng)

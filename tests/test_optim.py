@@ -40,23 +40,29 @@ def test_lazy_adam_moments_frozen_for_untouched():
     np.testing.assert_array_equal(np.asarray(state.mu["t"]), mu_after_1)
 
 
-def test_lazy_adam_matches_dense_adam_when_all_rows_touched():
-    # With every row touched each step, lazy == dense Adam (same eps).
-    tx_lazy = lazy_adam(0.01, eps=1e-8)
-    tx_dense = optax.adam(0.01, eps=1e-8, eps_root=0.0)
+def test_lazy_adam_matches_keras_adam_formula():
+    # With every row touched, lazy == a numpy transcription of keras Adam
+    # (bias correction folded into alpha, eps outside the corrected sqrt).
+    lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-7
+    tx = lazy_adam(lr, b1=b1, b2=b2, eps=eps)
     params = {"t": jnp.ones((4, 3))}
-    s_l, s_d = tx_lazy.init(params), tx_dense.init(params)
-    p_l = p_d = params
+    st = tx.init(params)
+    p = params
+    m = np.zeros((4, 3))
+    v = np.zeros((4, 3))
+    p_ref = np.ones((4, 3))
     key = jax.random.PRNGKey(0)
-    for i in range(5):
+    for i in range(1, 6):
         key, sub = jax.random.split(key)
-        g = {"t": jax.random.normal(sub, (4, 3))}
-        u_l, s_l = tx_lazy.update(g, s_l, p_l)
-        u_d, s_d = tx_dense.update(g, s_d, p_d)
-        p_l = optax.apply_updates(p_l, u_l)
-        p_d = optax.apply_updates(p_d, u_d)
-    np.testing.assert_allclose(np.asarray(p_l["t"]), np.asarray(p_d["t"]),
-                               rtol=1e-5)
+        g = jax.random.normal(sub, (4, 3))
+        u, st = tx.update({"t": g}, st, p)
+        p = optax.apply_updates(p, u)
+        gn = np.asarray(g)
+        m = b1 * m + (1 - b1) * gn
+        v = b2 * v + (1 - b2) * gn * gn
+        alpha = lr * np.sqrt(1 - b2 ** i) / (1 - b1 ** i)
+        p_ref = p_ref - alpha * m / (np.sqrt(v) + eps)
+    np.testing.assert_allclose(np.asarray(p["t"]), p_ref, rtol=1e-5)
 
 
 def test_lazy_adagrad_touched_rows_only():

@@ -1,0 +1,161 @@
+"""Numerical parity against the actual reference math, executed in
+TF/Keras on CPU (the reference's own runtime).
+
+For each core model: build the reference computation exactly as
+openrec/tf2 defines it, copy OUR initial parameters into it, feed the SAME
+batch, and require identical loss values and identical post-Adam-step
+parameters. This pins the loss/gradient/optimizer semantics, not just the
+formulas-as-transcribed.
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from openrec_tpu.models import BPR, GMF, UCML, WRMF  # noqa: E402
+from openrec_tpu.training.optim import lazy_adam  # noqa: E402
+
+USERS, ITEMS, DIM, B = 30, 50, 8, 16
+rng = np.random.default_rng(0)
+# Ids are drawn WITHOUT replacement: keras 3's sparse Adam accumulates v
+# per duplicate slice (Σg_i² instead of (Σg_i)²), a modern-keras quirk the
+# TF-2.0-era reference (dedup-summed IndexedSlices) did not have; our
+# lazy_adam matches the classic dense-sum semantics, so the comparison is
+# done on duplicate-free batches where all three agree.
+_pn = rng.choice(ITEMS, size=2 * B, replace=False)
+BATCH = {
+    "user_id": rng.choice(USERS, size=B, replace=False).astype(np.int32),
+    "p_item_id": _pn[:B].astype(np.int32),
+    "n_item_id": _pn[B:].astype(np.int32),
+    "item_id": rng.choice(ITEMS, size=B, replace=False).astype(np.int32),
+    "label": (rng.random(B) > 0.5).astype(np.float32),
+}
+
+
+def _tf_vars(params):
+    return {k: tf.Variable(np.asarray(v), dtype=tf.float32)
+            for k, v in params.items() if hasattr(v, "shape")}
+
+
+def _tf_bpr_loss(v, batch):
+    u = tf.gather(v["user_embed"], batch["user_id"])
+    p = tf.gather(v["item_embed"], batch["p_item_id"])
+    n = tf.gather(v["item_embed"], batch["n_item_id"])
+    pb = tf.gather(v["item_bias"], batch["p_item_id"])
+    nb = tf.gather(v["item_bias"], batch["n_item_id"])
+    pos = tf.reduce_sum(u * p, axis=1, keepdims=True) + pb
+    neg = tf.reduce_sum(u * n, axis=1, keepdims=True) + nb
+    loss = -tf.reduce_mean(
+        tf.math.log_sigmoid(tf.maximum(pos - neg, -30.0)))
+    l2 = tf.nn.l2_loss(u) + tf.nn.l2_loss(p) + tf.nn.l2_loss(n)
+    return loss, l2
+
+
+def test_bpr_loss_and_adam_step_match_reference():
+    model = BPR(total_users=USERS, total_items=ITEMS, dim_user_embed=DIM,
+                dim_item_embed=DIM, l2_weight=1.0)
+    params = model.init(jax.random.PRNGKey(0))
+    total_ours, aux = model.loss(params, {k: jnp.asarray(v)
+                                          for k, v in BATCH.items()})
+
+    v = _tf_vars(params)
+    with tf.GradientTape() as tape:
+        loss, l2 = _tf_bpr_loss(v, BATCH)
+        total_tf = loss + l2      # tape.gradient over the (loss, l2) tuple
+    np.testing.assert_allclose(float(aux["loss"]), float(loss), rtol=1e-5)
+    np.testing.assert_allclose(float(total_ours), float(total_tf),
+                               rtol=1e-5)
+
+    # one optimizer step: keras Adam (sparse updates) vs our lazy_adam
+    grads = tape.gradient(total_tf, list(v.values()))
+    opt = tf.keras.optimizers.Adam(learning_rate=1e-3)
+    opt.apply_gradients(zip(grads, v.values()))
+
+    tx = lazy_adam(1e-3)   # eps=1e-7 == keras
+    st = tx.init(params)
+    g = jax.grad(lambda p: model.loss(p, {k: jnp.asarray(x)
+                                          for k, x in BATCH.items()})[0])(
+        params)
+    upd, st = tx.update(g, st, params)
+    ours2 = optax.apply_updates(params, upd)
+
+    for key in ("user_embed", "item_embed", "item_bias"):
+        np.testing.assert_allclose(np.asarray(ours2[key]),
+                                   v[key].numpy(), rtol=2e-4, atol=2e-6)
+
+
+def test_wrmf_loss_matches_reference():
+    model = WRMF(total_users=USERS, total_items=ITEMS, dim_user_embed=DIM,
+                 dim_item_embed=DIM, a=2.0, b=0.3, l2_weight=1.0)
+    params = model.init(jax.random.PRNGKey(1))
+    total_ours, aux = model.loss(params, {k: jnp.asarray(v)
+                                          for k, v in BATCH.items()})
+    v = _tf_vars(params)
+    u = tf.gather(v["user_embed"], BATCH["user_id"])
+    it = tf.gather(v["item_embed"], BATCH["item_id"])
+    bias = tf.gather(v["item_bias"], BATCH["item_id"])
+    label = tf.constant(BATCH["label"])
+    pred = tf.reduce_sum(u * it, axis=1) + tf.reshape(bias, [-1])
+    w = (2.0 - 0.3) * label + 0.3
+    loss_tf = tf.reduce_sum(w * tf.square(label - pred))
+    np.testing.assert_allclose(float(aux["loss"]), float(loss_tf),
+                               rtol=1e-5)
+
+
+def test_ucml_loss_matches_reference():
+    model = UCML(total_users=USERS, total_items=ITEMS, dim_user_embed=DIM,
+                 dim_item_embed=DIM, margin=0.5)
+    params = model.init(jax.random.PRNGKey(2))
+    _, aux = model.loss(params, {k: jnp.asarray(v)
+                                 for k, v in BATCH.items()})
+    v = _tf_vars(params)
+    u = tf.gather(v["user_embed"], BATCH["user_id"])
+    p = tf.gather(v["item_embed"], BATCH["p_item_id"])
+    n = tf.gather(v["item_embed"], BATCH["n_item_id"])
+    pb = tf.gather(v["item_bias"], BATCH["p_item_id"])
+    nb = tf.gather(v["item_bias"], BATCH["n_item_id"])
+    l2p = tf.reduce_sum(tf.square(u - p), axis=-1, keepdims=True)
+    l2n = tf.reduce_sum(tf.square(u - n), axis=-1, keepdims=True)
+    diff = ((-l2p) + pb) - ((-l2n) + nb)
+    loss_tf = tf.reduce_sum(tf.maximum(0.5 - diff, 0))
+    np.testing.assert_allclose(float(aux["loss"]), float(loss_tf),
+                               rtol=1e-5)
+
+
+def test_gmf_loss_matches_reference():
+    model = GMF(total_users=USERS, total_items=ITEMS, dim_user_embed=DIM,
+                dim_item_embed=DIM)
+    params = model.init(jax.random.PRNGKey(3))
+    _, aux = model.loss(params, {k: jnp.asarray(v)
+                                 for k, v in BATCH.items()})
+    v = _tf_vars({k: params[k] for k in
+                  ("user_embed", "item_embed", "item_bias")})
+    w = tf.constant(np.asarray(params["mlp"][0]["w"]))
+    u = tf.gather(v["user_embed"], BATCH["user_id"])
+    it = tf.gather(v["item_embed"], BATCH["item_id"])
+    bias = tf.gather(v["item_bias"], BATCH["item_id"])
+    logit = tf.reshape(tf.matmul(u * it, w) + bias, [-1])
+    bce = tf.keras.losses.BinaryCrossentropy(from_logits=True)
+    loss_tf = bce(y_true=BATCH["label"], y_pred=logit)
+    np.testing.assert_allclose(float(aux["loss"]), float(loss_tf),
+                               rtol=1e-4)
+
+
+def test_censor_matches_reference():
+    from openrec_tpu.modules.embedding import censor_norm
+    table = np.asarray(rng.normal(size=(20, DIM)) * 2, np.float32)
+    ids = np.array([1, 5, 5, 9], np.int32)
+    ours = np.asarray(censor_norm(jnp.asarray(table), jnp.asarray(ids)))
+
+    var = tf.Variable(table)
+    unique_ids, _ = tf.unique(ids)
+    gathered = tf.gather(var, unique_ids)
+    norm = tf.norm(gathered, axis=1, keepdims=True)
+    var.scatter_nd_update(tf.expand_dims(unique_ids, 1),
+                          gathered / tf.maximum(norm, 0.1))
+    np.testing.assert_allclose(ours, var.numpy(), rtol=1e-5)
