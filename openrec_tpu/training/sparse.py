@@ -101,59 +101,117 @@ class SparseAdamState(NamedTuple):
     nu: dict
 
 
-def make_sparse_train_step(model, table_specs: Dict[str, Sequence[str]],
+def _path_of(key):
+    return key if isinstance(key, tuple) else (key,)
+
+
+def _get_path(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def _set_path(tree, path, value):
+    """Functionally set tree[path...] = value (dicts/lists copied along
+    the path)."""
+    if not path:
+        return value
+    head, rest = path[0], path[1:]
+    if isinstance(tree, dict):
+        out = dict(tree)
+        out[head] = _set_path(tree[head], rest, value)
+        return out
+    out = list(tree)
+    out[head] = _set_path(tree[head], rest, value)
+    return out
+
+
+def _extractor(spec):
+    if callable(spec):
+        return spec
+    keys = list(spec)
+    return lambda batch: jnp.concatenate(
+        [jnp.reshape(batch[k], (-1,)) for k in keys])
+
+
+def dlrm_table_specs(num_tables: int):
+    """Specs for models/dlrm.py: table i is indexed by
+    batch['sparse_features'][:, i]."""
+    return {("embed_tables", i):
+            (lambda batch, i=i: batch["sparse_features"][:, i])
+            for i in range(num_tables)}
+
+
+def make_sparse_train_step(model, table_specs,
                            learning_rate=1e-3, b1=0.9, b2=0.999, eps=1e-7,
                            dense_tx: optax.GradientTransformation = None,
                            id_cap: int = None):
     """Build (init_fn, step_fn) with O(batch) updates for the given tables.
 
-    table_specs: {param_key: [batch id keys touching that table]}, e.g.
+    table_specs: {param key or path tuple: id spec}, where id spec is a
+    list of batch keys or a callable(batch) -> flat ids, e.g.
       {"user_embed": ["user_id"],
        "item_embed": ["p_item_id", "n_item_id"],
-       "item_bias":  ["p_item_id", "n_item_id"]}
-    Dense (non-table) params use `dense_tx` (default Adam with the same
-    hyperparameters).
+       ("embed_tables", 3): lambda b: b["sparse_features"][:, 3]}
+    (see dlrm_table_specs). Dense (non-table) params use `dense_tx`
+    (default Adam with the same hyperparameters).
 
     step_fn(params, opt_state, batch, rng) -> (params, opt_state, loss).
     """
     if dense_tx is None:
         dense_tx = optax.adam(learning_rate, b1=b1, b2=b2, eps=eps)
+    specs = {_path_of(k): _extractor(v) for k, v in table_specs.items()}
+    top_table_keys = {p[0] for p in specs}
+
+    def _split_dense(params):
+        dense = {}
+        for k, v in params.items():
+            if k in top_table_keys and (k,) in specs:
+                continue          # whole leaf is a table
+            if k in top_table_keys:
+                # container of tables (e.g. embed_tables list): every entry
+                # must be covered — mixed containers are not supported.
+                sub_idx = {p[1] for p in specs if p[0] == k and len(p) == 2}
+                assert isinstance(v, list) and sub_idx == set(range(len(v))), (
+                    f"container '{k}' mixes sparse and dense entries")
+                continue
+            dense[k] = v
+        return dense
 
     def init_fn(params):
-        mu = {k: jnp.zeros_like(params[k]) for k in table_specs}
-        nu = {k: jnp.zeros_like(params[k]) for k in table_specs}
-        dense_params = {k: v for k, v in params.items()
-                        if k not in table_specs}
+        mu = {p: jnp.zeros_like(_get_path(params, p)) for p in specs}
+        nu = {p: jnp.zeros_like(_get_path(params, p)) for p in specs}
         return {"sparse": SparseAdamState(jnp.zeros([], jnp.int32), mu, nu),
-                "dense": dense_tx.init(dense_params)}
+                "dense": dense_tx.init(_split_dense(params))}
 
     def step_core(params, opt_state, batch, rng):
         sparse_state: SparseAdamState = opt_state["sparse"]
 
         # 1) unique ids + caps (static from batch shapes)
         uids, valid = {}, {}
-        for key, id_keys in table_specs.items():
-            all_ids = jnp.concatenate(
-                [jnp.reshape(batch[k], (-1,)) for k in id_keys])
+        for path, extract in specs.items():
+            all_ids = jnp.reshape(extract(batch), (-1,))
             cap = id_cap or all_ids.shape[0]
-            uids[key], valid[key] = unique_padded(
+            uids[path], valid[path] = unique_padded(
                 all_ids, min(cap, all_ids.shape[0]))
 
         # 2) gather rows
-        rows = {key: jnp.take(params[key], uids[key], axis=0)
-                for key in table_specs}
+        rows = {path: jnp.take(_get_path(params, path), uids[path], axis=0)
+                for path in specs}
 
         # 3) loss over SubTable views + dense params
+        dense_params = _split_dense(params)
+
         def loss_fn(rows_and_dense):
             r, dense = rows_and_dense
-            p = dict(dense)
-            for key in table_specs:
-                p[key] = SubTable(uids[key], r[key])
+            p = params
+            for k, v in dense.items():
+                p = _set_path(p, (k,), v)
+            for path in specs:
+                p = _set_path(p, path, SubTable(uids[path], r[path]))
             total, _aux = model.loss(p, batch, rng)
             return total
 
-        dense_params = {k: v for k, v in params.items()
-                        if k not in table_specs}
         (loss), grads = jax.value_and_grad(loss_fn)((rows, dense_params))
         row_grads, dense_grads = grads
 
@@ -163,27 +221,30 @@ def make_sparse_train_step(model, table_specs: Dict[str, Sequence[str]],
         c1 = 1.0 - b1 ** count.astype(jnp.float32)
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
         alpha = learning_rate * jnp.sqrt(c2) / c1   # keras Adam form
-        new_params = dict(dense_params)
+        new_params = params
         new_mu, new_nu = {}, {}
-        for key in table_specs:
-            g = row_grads[key]
-            v = valid[key][:, None].astype(g.dtype)
-            mu_old = jnp.take(sparse_state.mu[key], uids[key], axis=0)
-            nu_old = jnp.take(sparse_state.nu[key], uids[key], axis=0)
+        for path in specs:
+            g = row_grads[path]
+            v = valid[path][:, None].astype(g.dtype)
+            mu_old = jnp.take(sparse_state.mu[path], uids[path], axis=0)
+            nu_old = jnp.take(sparse_state.nu[path], uids[path], axis=0)
             mu_rows = b1 * mu_old + (1 - b1) * g
             nu_rows = b2 * nu_old + (1 - b2) * g * g
             step = -alpha * mu_rows / (jnp.sqrt(nu_rows) + eps)
             # 5) scatter deltas back (donated → in-place); pads add zero.
-            new_params[key] = params[key].at[uids[key]].add(step * v)
-            new_mu[key] = sparse_state.mu[key].at[uids[key]].add(
+            new_params = _set_path(
+                new_params, path,
+                _get_path(params, path).at[uids[path]].add(step * v))
+            new_mu[path] = sparse_state.mu[path].at[uids[path]].add(
                 (mu_rows - mu_old) * v)
-            new_nu[key] = sparse_state.nu[key].at[uids[key]].add(
+            new_nu[path] = sparse_state.nu[path].at[uids[path]].add(
                 (nu_rows - nu_old) * v)
 
         updates, dense_state = dense_tx.update(
             dense_grads, opt_state["dense"], dense_params)
         for k, u in updates.items():
-            new_params[k] = optax.apply_updates(dense_params[k], u)
+            new_params = _set_path(
+                new_params, (k,), optax.apply_updates(dense_params[k], u))
 
         new_params = model.post_step(new_params, batch)
         return new_params, {"sparse": SparseAdamState(count, new_mu,

@@ -106,3 +106,45 @@ def test_sparse_device_loop_learns():
     last = float(np.mean(np.asarray(losses)))
     assert np.isfinite(last)
     assert last < first, (first, last)
+
+
+def test_sparse_step_dlrm_tables():
+    from openrec_tpu.models import DLRM
+    from openrec_tpu.training.sparse import dlrm_table_specs
+
+    model = DLRM(m_spa=4, ln_emb=(50, 80, 30), ln_bot=(8, 4),
+                 ln_top=(16, 1), dim_dense=3, loss_func="bce")
+    params = model.init(jax.random.PRNGKey(0))
+    orig = jax.tree_util.tree_map(np.asarray, params)
+    rng = np.random.default_rng(0)
+    B = 32
+    batch = {
+        "dense_features": jnp.asarray(
+            rng.normal(size=(B, 3)).astype(np.float32)),
+        "sparse_features": jnp.asarray(np.stack(
+            [rng.integers(0, c, B) for c in (50, 80, 30)],
+            axis=1).astype(np.int32)),
+        "label": jnp.asarray(rng.integers(0, 2, B).astype(np.float32)),
+    }
+    init_fn, step_fn, _ = make_sparse_train_step(
+        model, dlrm_table_specs(3), learning_rate=0.01)
+    st = init_fn(params)
+    p = params
+    losses = []
+    for i in range(20):
+        p, st, loss = step_fn(p, st, batch, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # touched rows moved; untouched rows in table 0 unchanged
+    touched = set(np.asarray(batch["sparse_features"])[:, 0].tolist())
+    t0_new = np.asarray(p["embed_tables"][0])
+    for r in range(50):
+        if r in touched:
+            assert not np.allclose(t0_new[r], orig["embed_tables"][0][r])
+        else:
+            np.testing.assert_array_equal(t0_new[r],
+                                          orig["embed_tables"][0][r])
+    # dense MLP weights trained too
+    assert not np.allclose(np.asarray(p["mlp_top"][0]["w"]),
+                           orig["mlp_top"][0]["w"])
