@@ -30,17 +30,39 @@ REJECT_ROUNDS = 4
 
 
 class DevicePairwiseSampler:
-    """On-device (user, pos, neg) triplet sampler over a static index."""
+    """On-device (user, pos, neg) triplet sampler over a static index.
 
-    def __init__(self, store, batch_size: int):
+    membership:
+      'bitmap'      — a U·I bit array in HBM; one gather + bit test per
+                      query (fastest; used automatically when the bitmap
+                      is ≤ `bitmap_limit_bytes`).
+      'searchsorted'— binary search over the sorted key array
+                      (log₂N serialized gather rounds; any scale).
+    """
+
+    def __init__(self, store, batch_size: int, membership: str = "auto",
+                 bitmap_limit_bytes: int = 256 * 1024 * 1024):
         self.batch_size = int(batch_size)
         self.total_items = store.total_items()
+        n_pairs = store.total_users() * store.total_items()
+        if membership == "auto":
+            membership = ("bitmap" if n_pairs // 8 <= bitmap_limit_bytes
+                          else "searchsorted")
+        self.membership = membership
         # TPUs emulate int64 (2x int32 ops); use int32 keys whenever
         # user*I+item fits, which covers catalogs up to ~2B pairs.
-        fits32 = store.total_users() * store.total_items() < 2 ** 31
+        fits32 = n_pairs < 2 ** 31
         self._key_dtype = jnp.int32 if fits32 else jnp.int64
-        self._pos_keys = jnp.asarray(store._pos_keys.astype(
-            np.int32 if fits32 else np.int64))
+        if membership == "bitmap":
+            nwords = (n_pairs + 31) // 32
+            words = np.zeros(nwords, dtype=np.uint32)
+            keys = store._pos_keys
+            np.bitwise_or.at(words, keys >> 5,
+                             np.uint32(1) << (keys & 31).astype(np.uint32))
+            self._bitmap = jnp.asarray(words)
+        else:
+            self._pos_keys = jnp.asarray(store._pos_keys.astype(
+                np.int32 if fits32 else np.int64))
         self._rec_users = jnp.asarray(store._pos_users, dtype=jnp.int32)
         self._rec_items = jnp.asarray(store._pos_items, dtype=jnp.int32)
         self.num_records = int(self._rec_users.shape[0])
@@ -48,6 +70,12 @@ class DevicePairwiseSampler:
     def is_positive(self, users, items):
         keys = users.astype(self._key_dtype) * self.total_items \
             + items.astype(self._key_dtype)
+        if self.membership == "bitmap":
+            words = jnp.take(self._bitmap, (keys >> 5).astype(jnp.int32)
+                             if self._key_dtype == jnp.int32
+                             else keys >> 5, axis=0)
+            bit = (words >> (keys & 31).astype(jnp.uint32)) & 1
+            return bit != 0
         idx = jnp.searchsorted(self._pos_keys, keys)
         idx = jnp.clip(idx, 0, self._pos_keys.shape[0] - 1)
         return self._pos_keys[idx] == keys

@@ -40,6 +40,10 @@ class DLRM(Recommender):
     sigmoid_top: bool = True
     loss_func: str = "mse"
     loss_threshold: float = 0.0
+    # fused_tables: store all sparse tables as ONE [Σrows, m_spa] array
+    # with per-table offsets — 26 gathers collapse into 1, the row axis
+    # becomes a single shardable/sparse-updatable dimension.
+    fused_tables: bool = False
 
     def __post_init__(self):
         if self.arch_interaction_op not in ("dot", "cat"):
@@ -67,22 +71,46 @@ class DLRM(Recommender):
             return self.ln_bot[-1] + pairs
         return len(self.ln_emb) * self.m_spa + self.ln_bot[-1]
 
+    @property
+    def table_offsets(self):
+        import numpy as np
+        return np.concatenate([[0], np.cumsum(self.ln_emb)])
+
     def init(self, rng):
         n_tables = len(self.ln_emb)
         rngs = jax.random.split(rng, n_tables + 2)
-        tables = [embedding_init(rngs[i], num, self.m_spa)
-                  for i, num in enumerate(self.ln_emb)]
-        return {
-            "embed_tables": tables,
+        params = {
             "mlp_bot": self._mlp_bot.init(rngs[-2], self.dim_dense),
             "mlp_top": self._mlp_top.init(rngs[-1], self._top_in_dim()),
         }
+        if self.fused_tables:
+            tables = [embedding_init(rngs[i], num, self.m_spa)
+                      for i, num in enumerate(self.ln_emb)]
+            params["embed_fused"] = jnp.concatenate(tables, axis=0)
+        else:
+            params["embed_tables"] = [
+                embedding_init(rngs[i], num, self.m_spa)
+                for i, num in enumerate(self.ln_emb)]
+        return params
+
+    def flat_sparse_ids(self, sparse_features):
+        """[B, T] per-table ids → [B, T] ids into the fused row space."""
+        offsets = jnp.asarray(self.table_offsets[:-1], jnp.int32)
+        return sparse_features + offsets[None, :]
 
     def predict(self, params, dense_features, sparse_features):
         """dense: [B, dim_dense]; sparse: [B, num_tables] int → [B] preds."""
         from openrec_tpu.modules.embedding import embedding_lookup
-        sparse_vecs = [embedding_lookup(tbl, sparse_features[:, i])
-                       for i, tbl in enumerate(params["embed_tables"])]
+        if self.fused_tables:
+            flat = self.flat_sparse_ids(sparse_features)      # [B, T]
+            rows = embedding_lookup(params["embed_fused"],
+                                    flat.reshape(-1))
+            rows = rows.reshape(sparse_features.shape[0],
+                                len(self.ln_emb), self.m_spa)
+            sparse_vecs = [rows[:, i, :] for i in range(len(self.ln_emb))]
+        else:
+            sparse_vecs = [embedding_lookup(tbl, sparse_features[:, i])
+                           for i, tbl in enumerate(params["embed_tables"])]
         dense_vec = self._mlp_bot.apply(params["mlp_bot"], dense_features)
 
         if self.arch_interaction_op == "dot":

@@ -1,16 +1,18 @@
-"""Fused full-catalog score + top-k Pallas kernel.
+"""Full-catalog score + top-k retrieval.
 
-Serving retrieval computes u·Vᵀ+b over the whole catalog and keeps the
-top-k. The XLA path materializes the [B, I] score matrix in HBM
-(B·I·4 bytes — 64 users x 450k items = 115MB) before lax.top_k reads it
-back. This kernel streams the catalog through VMEM in tiles, keeping a
-running top-k per user block, so HBM traffic is just V + U (never B·I).
+`topk_xla` is the production path: measured on TPU v5e at tradesy scale
+(256 users × 165,906 items × dim 64 + top-100) XLA's fused matmul+top_k
+runs at ~108 TF/s effective — fp32 MXU peak — so a hand-written kernel has
+no headroom to win (docs/PERF_NOTES.md).
 
-Grid: one program per user block; the item axis is an inner fori_loop of
-tile matmuls (MXU) + running-topk merges (VPU sorts over 2k candidates).
-
-Falls back to pure XLA (`topk_xla`) everywhere Pallas/TPU is unavailable —
-kernels are an optimization, not a correctness dependency (SURVEY.md §7).
+`fused_score_topk` is a Pallas study kernel that streams the catalog
+through VMEM in tiles with a running top-k per user block (never
+materializing [B, I]). Mosaic cannot currently lower `lax.top_k` inside a
+TPU kernel, so on TPU it is only runnable in interpret mode; it exists as
+the blueprint for the day the merge primitive lands (or for a manual
+bitonic-merge variant) and is exercised against the XLA oracle in
+tests/test_ops.py. Production code should call `topk_xla` (or
+parallel/embedding.py's `sharded_topk` for row-sharded catalogs).
 """
 
 from __future__ import annotations
@@ -74,7 +76,9 @@ def fused_score_topk(user_vecs, item_table, item_bias, k,
 
     Shapes: user_vecs [B, D]; item_table [I, D]; item_bias [I] or [I, 1].
     B, I are padded internally; ids beyond I never win (scores -inf via
-    bias padding).
+    bias padding). NOTE: compiled TPU execution currently requires the
+    in-kernel top_k primitive Mosaic doesn't provide — use interpret=True
+    or `topk_xla` (see module docstring).
     """
     if not _HAS_PALLAS:
         return topk_xla(user_vecs, item_table, item_bias, k)

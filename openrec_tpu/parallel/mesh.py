@@ -92,8 +92,8 @@ def match_partition_rules(rules: Sequence, params, mesh: Mesh):
 # dense towers. Works for the whole zoo (tables are named *_embed /
 # embed_tables / out_weight).
 DEFAULT_RULES = (
-    (r"(item_embed|user_embed|embed_tables/\d+|out_weight|item_bias)",
-     P(MODEL_AXIS, None)),
+    (r"(item_embed|user_embed|embed_tables/\d+|embed_fused|out_weight"
+     r"|item_bias)", P(MODEL_AXIS, None)),
     (r"out_bias", P(MODEL_AXIS)),
 )
 

@@ -142,6 +142,13 @@ def dlrm_table_specs(num_tables: int):
             for i in range(num_tables)}
 
 
+def dlrm_fused_table_spec(model):
+    """Spec for DLRM(fused_tables=True): one table, flat offset ids."""
+    return {"embed_fused":
+            lambda batch: model.flat_sparse_ids(
+                batch["sparse_features"]).reshape(-1)}
+
+
 def make_sparse_train_step(model, table_specs,
                            learning_rate=1e-3, b1=0.9, b2=0.999, eps=1e-7,
                            dense_tx: optax.GradientTransformation = None,

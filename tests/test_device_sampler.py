@@ -1,6 +1,7 @@
 """On-device samplers: validity + fused device train loop."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from openrec_tpu.data.device_sampler import (
@@ -58,3 +59,21 @@ def test_device_loop_learns_low_rank():
     ev = EvaluationSampler(test_ds_store, 32, excl_stores=[train_store])
     res = tr.evaluate(ev, at=(50,))
     assert res["AUC"] > 0.8, res
+
+
+def test_device_pairwise_bitmap_membership():
+    store = _store()
+    s = DevicePairwiseSampler(store, batch_size=256, membership="bitmap")
+    assert s.membership == "bitmap"
+    batch = jax.jit(s.sample)(jax.random.PRNGKey(0))
+    u = np.asarray(batch["user_id"])
+    assert store.is_positive(u, np.asarray(batch["p_item_id"])).all()
+    assert not store.is_positive(u, np.asarray(batch["n_item_id"])).any()
+    # bitmap and searchsorted agree on membership queries
+    s2 = DevicePairwiseSampler(store, batch_size=256,
+                               membership="searchsorted")
+    rng = np.random.default_rng(0)
+    qu = jnp.asarray(rng.integers(0, 40, 500).astype(np.int32))
+    qi = jnp.asarray(rng.integers(0, 100, 500).astype(np.int32))
+    np.testing.assert_array_equal(np.asarray(s.is_positive(qu, qi)),
+                                  np.asarray(s2.is_positive(qu, qi)))

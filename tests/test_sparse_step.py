@@ -148,3 +148,61 @@ def test_sparse_step_dlrm_tables():
     # dense MLP weights trained too
     assert not np.allclose(np.asarray(p["mlp_top"][0]["w"]),
                            orig["mlp_top"][0]["w"])
+
+
+def test_dlrm_fused_tables_matches_separate():
+    from openrec_tpu.models import DLRM
+
+    kw = dict(m_spa=4, ln_emb=(50, 80, 30), ln_bot=(8, 4), ln_top=(16, 1),
+              dim_dense=3, loss_func="bce")
+    m_sep = DLRM(**kw)
+    m_fused = DLRM(fused_tables=True, **kw)
+    p_sep = m_sep.init(jax.random.PRNGKey(0))
+    p_fused = m_fused.init(jax.random.PRNGKey(0))
+    # identical rows, different layout
+    np.testing.assert_array_equal(
+        np.asarray(p_fused["embed_fused"][:50]),
+        np.asarray(p_sep["embed_tables"][0]))
+    rng = np.random.default_rng(0)
+    B = 16
+    batch = {
+        "dense_features": jnp.asarray(
+            rng.normal(size=(B, 3)).astype(np.float32)),
+        "sparse_features": jnp.asarray(np.stack(
+            [rng.integers(0, c, B) for c in (50, 80, 30)],
+            axis=1).astype(np.int32)),
+        "label": jnp.asarray(rng.integers(0, 2, B).astype(np.float32)),
+    }
+    l1, _ = m_sep.loss(p_sep, batch)
+    l2, _ = m_fused.loss(p_fused, batch)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+
+def test_dlrm_fused_sparse_step():
+    from openrec_tpu.models import DLRM
+    from openrec_tpu.training.sparse import dlrm_fused_table_spec
+
+    model = DLRM(m_spa=4, ln_emb=(50, 80, 30), ln_bot=(8, 4),
+                 ln_top=(16, 1), dim_dense=3, loss_func="bce",
+                 fused_tables=True)
+    params = model.init(jax.random.PRNGKey(0))
+    init_fn, step_fn, _ = make_sparse_train_step(
+        model, dlrm_fused_table_spec(model), learning_rate=0.01)
+    st = init_fn(params)
+    rng = np.random.default_rng(1)
+    B = 32
+    batch = {
+        "dense_features": jnp.asarray(
+            rng.normal(size=(B, 3)).astype(np.float32)),
+        "sparse_features": jnp.asarray(np.stack(
+            [rng.integers(0, c, B) for c in (50, 80, 30)],
+            axis=1).astype(np.int32)),
+        "label": jnp.asarray(rng.integers(0, 2, B).astype(np.float32)),
+    }
+    p = params
+    losses = []
+    for i in range(20):
+        p, st, loss = step_fn(p, st, batch, jax.random.PRNGKey(i))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
