@@ -44,6 +44,9 @@ class DLRM(Recommender):
     # with per-table offsets — 26 gathers collapse into 1, the row axis
     # becomes a single shardable/sparse-updatable dimension.
     fused_tables: bool = False
+    # 'bfloat16' runs the MLP towers and interaction on the MXU in bf16
+    # (params and optimizer stay fp32; the prediction/loss are fp32).
+    compute_dtype: str = "float32"
 
     def __post_init__(self):
         if self.arch_interaction_op not in ("dot", "cat"):
@@ -52,6 +55,11 @@ class DLRM(Recommender):
                 "is not supported")
         if self.loss_func not in ("mse", "bce"):
             raise ValueError(f"loss_func={self.loss_func} is not supported")
+        if self.arch_interaction_op == "dot" \
+                and self.ln_bot[-1] != self.m_spa:
+            raise ValueError(
+                f"dot interaction requires ln_bot[-1] == m_spa "
+                f"(got {self.ln_bot[-1]} vs {self.m_spa})")
 
     @property
     def _mlp_bot(self):
@@ -101,6 +109,13 @@ class DLRM(Recommender):
     def predict(self, params, dense_features, sparse_features):
         """dense: [B, dim_dense]; sparse: [B, num_tables] int → [B] preds."""
         from openrec_tpu.modules.embedding import embedding_lookup
+        cdt = jnp.dtype(self.compute_dtype)
+        if cdt != jnp.float32:
+            dense_features = dense_features.astype(cdt)
+            params = dict(params)
+            for key in ("mlp_bot", "mlp_top"):
+                params[key] = jax.tree_util.tree_map(
+                    lambda x: x.astype(cdt), params[key])
         if self.fused_tables:
             flat = self.flat_sparse_ids(sparse_features)      # [B, T]
             rows = embedding_lookup(params["embed_fused"],
@@ -111,6 +126,8 @@ class DLRM(Recommender):
         else:
             sparse_vecs = [embedding_lookup(tbl, sparse_features[:, i])
                            for i, tbl in enumerate(params["embed_tables"])]
+        if cdt != jnp.float32:
+            sparse_vecs = [v.astype(cdt) for v in sparse_vecs]
         dense_vec = self._mlp_bot.apply(params["mlp_bot"], dense_features)
 
         if self.arch_interaction_op == "dot":
@@ -122,6 +139,7 @@ class DLRM(Recommender):
             top_in = jnp.concatenate(sparse_vecs + [dense_vec], axis=1)
 
         pred = self._mlp_top.apply(params["mlp_top"], top_in)
+        pred = pred.astype(jnp.float32)
         if 0.0 < self.loss_threshold < 1.0:
             pred = jnp.clip(pred, self.loss_threshold,
                             1.0 - self.loss_threshold)

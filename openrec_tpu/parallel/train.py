@@ -20,10 +20,10 @@ from openrec_tpu.parallel.mesh import (
     DEFAULT_RULES, batch_sharding, replicated, shard_params)
 
 
-def _opt_state_shardings(tx, params, param_shardings, mesh):
+def _opt_state_shardings(init_callable, params, param_shardings, mesh):
     """Moment buffers (same shape as a param) inherit that param's
     sharding; everything else (step counters etc.) replicates."""
-    shapes = jax.eval_shape(tx.init, params)
+    shapes = jax.eval_shape(init_callable, params)
     by_shape = {}
     for spec, leaf in zip(jax.tree_util.tree_leaves(param_shardings),
                           jax.tree_util.tree_leaves(params)):
@@ -52,7 +52,8 @@ def make_parallel_train_step(model, tx, mesh, rules=DEFAULT_RULES):
         params, param_shardings = shard_params(params, mesh, rules)
         opt_state = jax.jit(
             tx.init,
-            out_shardings=_opt_state_shardings(tx, params, param_shardings,
+            out_shardings=_opt_state_shardings(tx.init, params,
+                                               param_shardings,
                                                mesh))(params)
         return params, opt_state, param_shardings
 
@@ -68,6 +69,35 @@ def make_parallel_train_step(model, tx, mesh, rules=DEFAULT_RULES):
         params = model.post_step(params, batch)
         return params, opt_state, total, aux
 
+    return step_fn, init_fn
+
+
+def make_parallel_sparse_train_step(model, table_specs, mesh,
+                                    rules=DEFAULT_RULES, **hyper):
+    """Distributed O(batch) sparse step: tables (and their Adam moments)
+    row-shard over 'model', batches shard over 'data'; the gather/scatter
+    pair on the sharded row axis is partitioned by GSPMD (routing rides
+    ICI), and dense-tower grads psum over 'data'.
+
+    Returns (step_fn, init_fn) like make_parallel_train_step.
+    """
+    from openrec_tpu.training.sparse import make_sparse_train_step
+
+    _, _, step_core = make_sparse_train_step(model, table_specs, **hyper)
+
+    init_state, _, _ = make_sparse_train_step(model, table_specs, **hyper)
+
+    def init_fn(rng):
+        params = model.init(rng)
+        params, param_shardings = shard_params(params, mesh, rules)
+        opt_state = jax.jit(
+            init_state,
+            out_shardings=_opt_state_shardings(init_state, params,
+                                               param_shardings, mesh))(
+            params)
+        return params, opt_state, param_shardings
+
+    step_fn = jax.jit(step_core, donate_argnums=(0, 1))
     return step_fn, init_fn
 
 

@@ -40,7 +40,8 @@ class Trainer:
                  save_model_dir: Optional[str] = None,
                  init_model_dir: Optional[str] = None,
                  max_to_keep: int = 10,
-                 log_file: Optional[str] = None):
+                 log_file: Optional[str] = None,
+                 sparse_tables=None):
         """
         model: a Recommender.
         optimizer: an optax GradientTransformation (default lazy_adam(lr) —
@@ -48,9 +49,15 @@ class Trainer:
           updates are sparse/rows-touched).
         init_model_dir: warm-start checkpoint dir; loaded optimistically
           (shape-matched subset) like reference recommender.py:495-498.
+        sparse_tables: optional table specs (training/sparse.py) switching
+          the step to O(batch) gather→Adam→scatter updates — the big-table
+          production path (docs/PERF_NOTES.md). Uses Adam(lr); the
+          `optimizer` arg then only applies to dense (non-table) params.
         """
         from openrec_tpu.training.optim import lazy_adam
         self.model = model
+        self.sparse_tables = sparse_tables
+        self.lr = lr
         self.tx = optimizer if optimizer is not None else lazy_adam(lr)
         self.rng = jax.random.PRNGKey(seed)
         self.save_model_dir = save_model_dir
@@ -66,7 +73,15 @@ class Trainer:
                     path, {"params": self.params},
                     optimistic=True)["params"]
                 self._log(f"warm-started from {path}")
-        self.opt_state = self.tx.init(self.params)
+        if sparse_tables is not None:
+            from openrec_tpu.training.sparse import make_sparse_train_step
+            init_fn, step_fn, self._sparse_core = make_sparse_train_step(
+                model, sparse_tables, learning_rate=lr,
+                dense_tx=optimizer)
+            self.opt_state = init_fn(self.params)
+            self._sparse_step = step_fn
+        else:
+            self.opt_state = self.tx.init(self.params)
         self._step = self._build_step()
         self._score = jax.jit(self.model.score)
         self._eval_step_cache = {}
@@ -97,13 +112,35 @@ class Trainer:
         """One optimizer step on a numpy/jnp batch dict."""
         self.rng, step_rng = jax.random.split(self.rng)
         batch = {k: jax.numpy.asarray(v) for k, v in batch.items()}
-        self.params, self.opt_state, loss, aux = self._step(
-            self.params, self.opt_state, batch, step_rng)
+        if self.sparse_tables is not None:
+            self.params, self.opt_state, loss = self._sparse_step(
+                self.params, self.opt_state, batch, step_rng)
+            aux = {"loss": loss}
+        else:
+            self.params, self.opt_state, loss, aux = self._step(
+                self.params, self.opt_state, batch, step_rng)
         self.global_step += 1
         return loss, aux
 
-    def _build_multi_step(self, k: int):
+    def _step_body(self, params, opt_state, batch, step_rng):
+        """One optimizer step as pure code (used inline and under scan)."""
+        if self.sparse_tables is not None:
+            params, opt_state, total = self._sparse_core(
+                params, opt_state, batch, step_rng)
+            return params, opt_state, total
         model, tx = self.model, self.tx
+
+        def loss_fn(p):
+            return model.loss(p, batch, step_rng)
+        (total, _), grads = jax.value_and_grad(loss_fn,
+                                               has_aux=True)(params)
+        grads = model.grad_transform(grads, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        params = model.post_step(params, batch)
+        return params, opt_state, total
+
+    def _build_multi_step(self, k: int):
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def multi_step(params, opt_state, stacked, rng):
@@ -112,15 +149,8 @@ class Trainer:
             def body(carry, xs):
                 params, opt_state = carry
                 batch, step_rng = xs
-
-                def loss_fn(p):
-                    return model.loss(p, batch, step_rng)
-                (total, _), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params)
-                grads = model.grad_transform(grads, batch)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                params = model.post_step(params, batch)
+                params, opt_state, total = self._step_body(
+                    params, opt_state, batch, step_rng)
                 return (params, opt_state), total
 
             (params, opt_state), losses = jax.lax.scan(
@@ -130,7 +160,6 @@ class Trainer:
         return multi_step
 
     def _build_device_loop(self, sampler, k: int):
-        model, tx = self.model, self.tx
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def device_loop(params, opt_state, rng):
@@ -140,15 +169,8 @@ class Trainer:
                 params, opt_state = carry
                 r_sample, r_loss = jax.random.split(step_rng)
                 batch = sampler.sample(r_sample)
-
-                def loss_fn(p):
-                    return model.loss(p, batch, r_loss)
-                (total, _), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params)
-                grads = model.grad_transform(grads, batch)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                params = model.post_step(params, batch)
+                params, opt_state, total = self._step_body(
+                    params, opt_state, batch, r_loss)
                 return (params, opt_state), total
 
             (params, opt_state), losses = jax.lax.scan(

@@ -327,3 +327,28 @@ def test_cached_scorer_matches_model_score():
     np.testing.assert_allclose(np.asarray(vals),
                                np.sort(want, axis=1)[:, ::-1][:, :5],
                                rtol=1e-5, atol=1e-7)
+
+
+def test_dlrm_bfloat16_compute():
+    kw = dict(m_spa=4, ln_emb=(20, 30), ln_bot=(8, 4), ln_top=(16, 1),
+              dim_dense=3, loss_func="bce")
+    m32 = DLRM(**kw)
+    m16 = DLRM(compute_dtype="bfloat16", **kw)
+    params = m32.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    batch = {"dense_features": jnp.asarray(
+                 rng.normal(size=(64, 3)).astype(np.float32)),
+             "sparse_features": jnp.asarray(np.stack(
+                 [rng.integers(0, 20, 64), rng.integers(0, 30, 64)],
+                 axis=1).astype(np.int32)),
+             "label": jnp.asarray(
+                 rng.integers(0, 2, 64).astype(np.float32))}
+    l32, _ = m32.loss(params, batch)
+    l16, _ = m16.loss(params, batch)
+    assert l16.dtype == jnp.float32
+    np.testing.assert_allclose(float(l16), float(l32), rtol=2e-2)
+    # trains without NaN
+    tr = Trainer(m16, lr=0.01, seed=0)
+    for i in range(10):
+        loss, _ = tr.train_step(batch)
+    assert np.isfinite(float(loss))

@@ -153,3 +153,52 @@ def test_parallel_eval_step():
                     jnp.asarray(rng.random((B, 64)) < 0.05))
     assert out["AUC"].shape == (B,)
     assert np.isfinite(np.asarray(out["AUC"])).all()
+
+
+def test_parallel_sparse_step_matches_single_device():
+    from openrec_tpu.parallel.train import make_parallel_sparse_train_step
+    from openrec_tpu.training.sparse import (
+        dlrm_fused_table_spec, make_sparse_train_step)
+
+    mesh = make_mesh(data=4, model=2)
+    # row counts divisible by the model axis
+    kw = dict(m_spa=8, ln_emb=(64, 128, 32), ln_bot=(8, 8), ln_top=(16, 1),
+              dim_dense=3, loss_func="bce", fused_tables=True)
+    model = DLRM(**kw)
+    spec = dlrm_fused_table_spec(model)
+
+    step_fn, init_fn = make_parallel_sparse_train_step(
+        model, spec, mesh, learning_rate=0.01)
+    params, opt_state, shardings = init_fn(jax.random.PRNGKey(0))
+    assert shardings["embed_fused"].spec[0] == MODEL_AXIS
+
+    rng = np.random.default_rng(0)
+    B = 32
+    batch_np = {
+        "dense_features": rng.normal(size=(B, 3)).astype(np.float32),
+        "sparse_features": np.stack(
+            [rng.integers(0, c, B) for c in (64, 128, 32)],
+            axis=1).astype(np.int32),
+        "label": rng.integers(0, 2, B).astype(np.float32),
+    }
+    batch = to_device(batch_np, batch_sharding(mesh))
+    for i in range(3):
+        params, opt_state, loss = step_fn(params, opt_state, batch,
+                                          jax.random.PRNGKey(i))
+    assert np.isfinite(float(loss))
+
+    # single-device oracle
+    init_o, step_o, _ = make_sparse_train_step(model, spec,
+                                               learning_rate=0.01)
+    p = model.init(jax.random.PRNGKey(0))
+    st = init_o(p)
+    b = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    for i in range(3):
+        p, st, loss_o = step_o(p, st, b, jax.random.PRNGKey(i))
+    np.testing.assert_allclose(float(loss), float(loss_o), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(params["embed_fused"]),
+                               np.asarray(p["embed_fused"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["mlp_top"][0]["w"]),
+                               np.asarray(p["mlp_top"][0]["w"]),
+                               rtol=1e-4, atol=1e-6)

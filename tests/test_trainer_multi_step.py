@@ -55,3 +55,27 @@ def test_train_loop_with_steps_per_call():
     tr = Trainer(model, lr=0.01, seed=0)
     tr.train(total_iter=20, train_batches=iter(s), steps_per_call=5)
     assert tr.global_step == 20
+
+
+def test_trainer_sparse_tables_mode():
+    specs = {"user_embed": ["user_id"],
+             "item_embed": ["p_item_id", "n_item_id"],
+             "item_bias": ["p_item_id", "n_item_id"]}
+    batches = _batches(6)
+    model = BPR(total_users=40, total_items=100, dim_user_embed=8,
+                dim_item_embed=8, l2_weight=0.0)
+    tr = Trainer(model, lr=0.01, seed=0, sparse_tables=specs)
+    losses = [float(tr.train_step(b)[0]) for b in batches[:3]]
+    assert np.isfinite(losses).all()
+    # fused path with sparse core
+    ls = tr.train_step_multi(batches[3:])
+    assert np.isfinite(np.asarray(ls)).all()
+    assert tr.global_step == 6
+    # device loop with sparse core
+    from openrec_tpu.data.device_sampler import DevicePairwiseSampler
+    from openrec_tpu.data.store import InteractionStore
+    store = InteractionStore(make_interactions(), 40, 100, seed=0)
+    s = DevicePairwiseSampler(store, batch_size=32)
+    ls = tr.train_steps_device(s, 5)
+    assert np.isfinite(np.asarray(ls)).all()
+    assert tr.global_step == 11
