@@ -16,6 +16,11 @@ machine's CPU, cached in BENCH_BASELINE.json after first measurement.
 
 import json
 import os
+
+# Persistent compilation cache: repeat runs skip the (minutes-long)
+# remote compiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 import sys
 import time
 

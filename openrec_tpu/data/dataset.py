@@ -87,10 +87,12 @@ class Dataset:
 
     # -- evaluation strategies (finite, one epoch per iteration) -------- #
 
-    def evaluation(self, batch_size, excl_datasets=()):
+    def evaluation(self, batch_size, excl_datasets=(),
+                   device_masks=False):
         return EvaluationSampler(
             self.store, batch_size,
-            excl_stores=[d.store for d in excl_datasets])
+            excl_stores=[d.store for d in excl_datasets],
+            device_masks=device_masks)
 
     def temporal_evaluation(self, batch_size, max_seq_len, joins=()):
         s = TemporalEvaluationSampler(self.store, batch_size, max_seq_len)

@@ -32,13 +32,40 @@ from openrec_tpu.data.store import InteractionStore
 
 
 class BatchSampler:
-    """Base: infinite iterator of dict-of-ndarray batches."""
+    """Base: infinite iterator of dict-of-ndarray batches.
+
+    Each sampler owns its epoch-shuffled record stream (seeded by its own
+    rng): prefetch workers cloned via with_seed draw independent streams —
+    both the fix for the reference's duplicate-batch race and the reason
+    two workers can run concurrently without sharing mutable state.
+    """
 
     def __init__(self, store: InteractionStore, batch_size: int, seed=0):
         self.store = store
         self.batch_size = int(batch_size)
         self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self._perm = np.empty(0, dtype=np.int64)
+        self._perm_pos = 0
+
+    def _next_record_indices(self, n: int) -> np.ndarray:
+        """Per-sampler epoch stream (every record once per epoch)."""
+        out = np.empty(n, dtype=np.int64)
+        filled = 0
+        n_rec = self.store.total_records()
+        while filled < n:
+            if self._perm_pos >= len(self._perm):
+                self._perm = self.rng.permutation(n_rec)
+                self._perm_pos = 0
+            take = min(n - filled, len(self._perm) - self._perm_pos)
+            out[filled:filled + take] = \
+                self._perm[self._perm_pos:self._perm_pos + take]
+            self._perm_pos += take
+            filled += take
+        return out
+
+    def _next_records(self, n: int) -> np.ndarray:
+        return self.store.raw_data[self._next_record_indices(n)]
 
     def sample(self) -> dict:
         raise NotImplementedError
@@ -53,6 +80,8 @@ class BatchSampler:
         clone.__dict__.update(self.__dict__)
         clone.seed = seed
         clone.rng = np.random.default_rng(seed)
+        clone._perm = np.empty(0, dtype=np.int64)
+        clone._perm_pos = 0
         return clone
 
 
@@ -82,16 +111,17 @@ class PairwiseSampler(BatchSampler):
     def sample(self):
         if self.use_native:
             from openrec_tpu import native
-            idx = self.store.next_random_record_indices(self.batch_size)
+            idx = self._next_record_indices(self.batch_size)
             seed = int(self.rng.integers(0, 2 ** 63))
             u, p, n = native.pairwise_batch_hash(
                 self._hash_table, self._rec_users, self._rec_items,
                 idx, self.store.total_items(), seed)
             return {"user_id": u, "p_item_id": p, "n_item_id": n}
-        rec = self.store.next_random_records(self.batch_size)
+        rec = self._next_records(self.batch_size)
         user_id = np.asarray(rec["user_id"], dtype=np.int32)
         p_item_id = np.asarray(rec["item_id"], dtype=np.int32)
-        n_item_id = self.store.sample_negative_items(user_id).astype(np.int32)
+        n_item_id = self.store.sample_negative_items(
+            user_id, rng=self.rng).astype(np.int32)
         return {"user_id": user_id, "p_item_id": p_item_id,
                 "n_item_id": n_item_id}
 
@@ -104,11 +134,11 @@ class NPairwiseSampler(BatchSampler):
         self.num_negatives = int(num_negatives)
 
     def sample(self):
-        rec = self.store.next_random_records(self.batch_size)
+        rec = self._next_records(self.batch_size)
         user_id = np.asarray(rec["user_id"], dtype=np.int32)
         p_item_id = np.asarray(rec["item_id"], dtype=np.int32)
         n_item_id = self.store.sample_negative_items_multi(
-            user_id, self.num_negatives).astype(np.int32)
+            user_id, self.num_negatives, rng=self.rng).astype(np.int32)
         return {"user_id": user_id, "p_item_id": p_item_id,
                 "n_item_id": n_item_id}
 
@@ -124,7 +154,7 @@ class StratifiedPointwiseSampler(BatchSampler):
     def sample(self):
         n_pos = int(self.batch_size * self.pos_ratio)
         n_neg = self.batch_size - n_pos
-        rec = self.store.next_random_records(n_pos)
+        rec = self._next_records(n_pos)
         users = np.empty(self.batch_size, dtype=np.int32)
         items = np.empty(self.batch_size, dtype=np.int32)
         labels = np.zeros(self.batch_size, dtype=np.float32)
@@ -156,7 +186,7 @@ class PerPosStratifiedPointwiseSampler(BatchSampler):
     def sample(self):
         group = 1 + self.k_neg
         n_groups = -(-self.batch_size // group)
-        rec = self.store.next_random_records(n_groups)
+        rec = self._next_records(n_groups)
         gu = np.asarray(rec["user_id"], dtype=np.int64)
         gp = np.asarray(rec["item_id"], dtype=np.int64)
         # Negatives: uniform items != the positive (the reference only
@@ -200,7 +230,7 @@ class ExplicitSampler(BatchSampler):
         self.label_field = label_field
 
     def sample(self):
-        rec = self.store.next_random_records(self.batch_size)
+        rec = self._next_records(self.batch_size)
         return {"user_id": np.asarray(rec["user_id"], dtype=np.int32),
                 "item_id": np.asarray(rec["item_id"], dtype=np.int32),
                 "label": np.asarray(rec[self.label_field], dtype=np.float32)}
@@ -309,15 +339,31 @@ class EvaluationSampler:
     When the store has explicit/pre-sampled negatives, items outside
     pos∪neg are excluded — reproducing the reference's sampled-negative
     evaluation mode.
+
+    device_masks=True emits padded id lists (pos_ids/excl_ids, -1 padded)
+    instead of [B, total_items] bool masks — the masks are then scattered
+    on device inside the jitted eval step (Trainer handles both forms).
+    At a 450k-item catalog this cuts host→device eval traffic ~1000×.
+    Only available for implicit stores without pre-sampled negatives
+    (otherwise excl = complement-of-negatives is dense by nature).
     """
 
     def __init__(self, store: InteractionStore, batch_size: int,
-                 excl_stores=(), pad_to_batch=True):
+                 excl_stores=(), pad_to_batch=True, device_masks=False):
         self.store = store
         self.batch_size = int(batch_size)
         self.excl_stores = list(excl_stores)
         self.pad_to_batch = pad_to_batch
         self.eval_users = store.warm_users()
+        self.device_masks = bool(device_masks)
+        if self.device_masks:
+            assert not store.contain_negatives(), (
+                "device_masks requires an implicit store without "
+                "pre-sampled negatives")
+            self._pos_pad = int(store.user_positive_counts().max())
+            self._excl_pad = max(
+                (int(ex.user_positive_counts().max())
+                 for ex in self.excl_stores), default=1)
 
     def __len__(self):
         return -(-len(self.eval_users) // self.batch_size)
@@ -353,14 +399,44 @@ class EvaluationSampler:
             excl[erow, ecol] = True
         return pos, excl
 
+    def _padded_ids(self, users):
+        B = len(users)
+        pos_ids = np.full((B, self._pos_pad), -1, dtype=np.int32)
+        ptr, items = self.store.positive_csr()
+        for r, u in enumerate(users):
+            row = items[ptr[u]:ptr[u + 1]]
+            pos_ids[r, :len(row)] = row
+        excl_ids = np.full((B, self._excl_pad), -1, dtype=np.int32)
+        for ex in self.excl_stores:
+            eptr, eitems = ex.positive_csr()
+            for r, u in enumerate(users):
+                row = eitems[eptr[u]:eptr[u + 1]]
+                excl_ids[r, :len(row)] = row
+        return pos_ids, excl_ids
+
     def __iter__(self):
         bs = self.batch_size
         for i in range(0, len(self.eval_users), bs):
             users = self.eval_users[i:i + bs]
-            pos, excl = self._masks(users)
             valid = np.ones(len(users), dtype=bool)
-            if self.pad_to_batch and len(users) < bs:
-                pad = bs - len(users)
+            pad = bs - len(users) if self.pad_to_batch else 0
+            if self.device_masks:
+                pos_ids, excl_ids = self._padded_ids(users)
+                if pad:
+                    users = np.pad(users, (0, pad))
+                    # padded rows: no positives, exclude nothing; dropped
+                    # from aggregation via `valid`
+                    pos_ids = np.pad(pos_ids, ((0, pad), (0, 0)),
+                                     constant_values=-1)
+                    excl_ids = np.pad(excl_ids, ((0, pad), (0, 0)),
+                                      constant_values=-1)
+                    valid = np.pad(valid, (0, pad))
+                yield {"user_id": users.astype(np.int32),
+                       "pos_ids": pos_ids, "excl_ids": excl_ids,
+                       "valid": valid}
+                continue
+            pos, excl = self._masks(users)
+            if pad:
                 users = np.pad(users, (0, pad))
                 pos = np.pad(pos, ((0, pad), (0, 0)))
                 # Padded rows: mark everything excluded, no positives; the

@@ -123,8 +123,13 @@ class InteractionStore:
 
         # Epoch-shuffled record stream (reference utils.py:82-87 semantics:
         # every record appears once per epoch, order re-shuffled each epoch).
+        # Guarded by a lock — samplers keep their own streams (see
+        # BatchSampler._next_record_indices), but direct store use must be
+        # safe under the threaded Prefetcher.
+        import threading
         self._perm = np.empty(0, dtype=np.int64)
         self._perm_pos = 0
+        self._perm_lock = threading.Lock()
 
     # ------------------------------------------------------------------ #
     # basic accessors
@@ -154,18 +159,19 @@ class InteractionStore:
 
     def next_random_record_indices(self, n: int) -> np.ndarray:
         """Next `n` record indices of the epoch-shuffled stream."""
-        out = np.empty(n, dtype=np.int64)
-        filled = 0
-        while filled < n:
-            if self._perm_pos >= len(self._perm):
-                self._perm = self._rng.permutation(len(self._raw_data))
-                self._perm_pos = 0
-            take = min(n - filled, len(self._perm) - self._perm_pos)
-            out[filled:filled + take] = \
-                self._perm[self._perm_pos:self._perm_pos + take]
-            self._perm_pos += take
-            filled += take
-        return out
+        with self._perm_lock:
+            out = np.empty(n, dtype=np.int64)
+            filled = 0
+            while filled < n:
+                if self._perm_pos >= len(self._perm):
+                    self._perm = self._rng.permutation(len(self._raw_data))
+                    self._perm_pos = 0
+                take = min(n - filled, len(self._perm) - self._perm_pos)
+                out[filled:filled + take] = \
+                    self._perm[self._perm_pos:self._perm_pos + take]
+                self._perm_pos += take
+                filled += take
+            return out
 
     def next_random_records(self, n: int) -> np.ndarray:
         """Return the next `n` records of the epoch-shuffled stream."""
@@ -184,32 +190,37 @@ class InteractionStore:
             return np.zeros_like(keys, dtype=bool)
         return self._pos_keys[idx] == keys
 
-    def sample_negative_items(self, user_ids, max_rounds: int = 64
-                              ) -> np.ndarray:
+    def sample_negative_items(self, user_ids, max_rounds: int = 64,
+                              rng=None) -> np.ndarray:
         """One uniform negative per user, batched rejection sampling.
 
         Mirrors reference utils.py:102-116 (uniform over catalog, reject
         observed positives; pre-sampled negatives used when present).
+        Pass `rng` for thread-independent draws (samplers pass their own —
+        np.random.Generator is not thread-safe).
         """
+        rng = rng if rng is not None else self._rng
         user_ids = np.atleast_1d(_as_int64(user_ids))
         if self._num_negatives is not None:
-            return self._sample_presampled_negatives(user_ids)
-        cand = self._rng.integers(0, self._total_items, size=len(user_ids))
+            return self._sample_presampled_negatives(user_ids, rng)
+        cand = rng.integers(0, self._total_items, size=len(user_ids))
         bad = self.is_positive(user_ids, cand)
         rounds = 0
         while bad.any() and rounds < max_rounds:
-            resample = self._rng.integers(0, self._total_items,
-                                          size=int(bad.sum()))
+            resample = rng.integers(0, self._total_items,
+                                    size=int(bad.sum()))
             cand[bad] = resample
             bad = self.is_positive(user_ids, cand)
             rounds += 1
         return cand
 
-    def sample_negative_items_multi(self, user_ids, k: int) -> np.ndarray:
+    def sample_negative_items_multi(self, user_ids, k: int,
+                                    rng=None) -> np.ndarray:
         """k negatives per user, shape [len(user_ids), k]."""
         user_ids = np.atleast_1d(_as_int64(user_ids))
         flat_users = np.repeat(user_ids, k)
-        return self.sample_negative_items(flat_users).reshape(-1, k)
+        return self.sample_negative_items(flat_users,
+                                          rng=rng).reshape(-1, k)
 
     def sample_positive_items(self, user_id: int, num_samples: int = 1):
         lo, hi = self._csr_ptr[user_id], self._csr_ptr[user_id + 1]
@@ -230,11 +241,13 @@ class InteractionStore:
             out.append(cand)
         return np.asarray(out, dtype=np.int64)
 
-    def _sample_presampled_negatives(self, user_ids: np.ndarray) -> np.ndarray:
+    def _sample_presampled_negatives(self, user_ids: np.ndarray,
+                                     rng=None) -> np.ndarray:
+        rng = rng if rng is not None else self._rng
         lo = self._neg_ptr[user_ids]
         hi = self._neg_ptr[user_ids + 1]
         width = np.maximum(hi - lo, 1)
-        picks = lo + self._rng.integers(0, 1 << 62, size=len(user_ids)) % width
+        picks = lo + rng.integers(0, 1 << 62, size=len(user_ids)) % width
         picks = np.minimum(picks, len(self._neg_items_csr) - 1)
         return self._neg_items_csr[picks]
 

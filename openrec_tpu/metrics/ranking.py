@@ -104,3 +104,18 @@ def Precision(pos_mask, pred, excl_mask, at=(100,)):
 def MSE(pred, labels):
     """Per-example squared error (tf1 evaluators/mse.py:10-12)."""
     return (pred - labels) ** 2
+
+
+def ids_to_masks(pos_ids, excl_ids, total_items):
+    """Scatter padded id lists (-1 = pad) into [B, I] boolean masks on
+    device — the transfer-light eval path (EvaluationSampler
+    device_masks=True)."""
+    B = pos_ids.shape[0]
+    rows = jnp.arange(B)[:, None]
+
+    def scatter(ids):
+        safe = jnp.where(ids >= 0, ids, total_items)   # pads → OOB
+        return jnp.zeros((B, total_items), bool).at[
+            jnp.broadcast_to(rows, ids.shape), safe].set(True, mode="drop")
+
+    return scatter(pos_ids), scatter(excl_ids)

@@ -226,32 +226,54 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
-    def _default_eval_step(self, at):
-        at = tuple(at)
-        if at not in self._eval_step_cache:
+    def _default_eval_step(self, at, from_ids: bool = False):
+        key = (tuple(at), from_ids)
+        if key not in self._eval_step_cache:
             model = self.model
+            at = tuple(at)
 
-            @jax.jit
-            def eval_step(params, user_id, pos_mask, excl_mask):
+            def metrics(params, user_id, pos_mask, excl_mask):
                 pred = model.score(params, {"user_id": user_id})
                 return {
                     "AUC": AUC(pos_mask, pred, excl_mask),
                     "Recall": Recall(pos_mask, pred, excl_mask, at=at),
                     "NDCG": NDCG(pos_mask, pred, excl_mask, at=at),
-                    "Precision": Precision(pos_mask, pred, excl_mask, at=at),
+                    "Precision": Precision(pos_mask, pred, excl_mask,
+                                           at=at),
                 }
-            self._eval_step_cache[at] = eval_step
-        return self._eval_step_cache[at]
+
+            if from_ids:
+                from openrec_tpu.metrics.ranking import ids_to_masks
+                total_items = getattr(model, "total_items")
+
+                @jax.jit
+                def eval_step(params, user_id, pos_ids, excl_ids):
+                    pos_mask, excl_mask = ids_to_masks(pos_ids, excl_ids,
+                                                       total_items)
+                    return metrics(params, user_id, pos_mask, excl_mask)
+            else:
+                eval_step = jax.jit(metrics)
+            self._eval_step_cache[key] = eval_step
+        return self._eval_step_cache[key]
 
     def evaluate(self, eval_sampler, at=(50, 100),
                  eval_fn: Callable = None) -> dict:
-        """Run one epoch of an EvaluationSampler; returns metric means."""
-        eval_fn = eval_fn or self._default_eval_step(at)
+        """Run one epoch of an EvaluationSampler; returns metric means.
+        Accepts mask batches or id batches (device_masks=True)."""
         acc = DictMean({"AUC": [], "Recall": [len(at)],
                         "NDCG": [len(at)], "Precision": [len(at)]})
         for batch in eval_sampler:
-            out = eval_fn(self.params, batch["user_id"], batch["pos_mask"],
-                          batch["excl_mask"])
+            if eval_fn is not None:
+                out = eval_fn(self.params, batch["user_id"],
+                              batch["pos_mask"], batch["excl_mask"])
+            elif "pos_ids" in batch:
+                step = self._default_eval_step(at, from_ids=True)
+                out = step(self.params, batch["user_id"],
+                           batch["pos_ids"], batch["excl_ids"])
+            else:
+                step = self._default_eval_step(at)
+                out = step(self.params, batch["user_id"],
+                           batch["pos_mask"], batch["excl_mask"])
             acc.update_state(jax.device_get(out), valid=batch.get("valid"))
         return acc.result()
 

@@ -146,3 +146,43 @@ def test_dataset_facade_prefetch():
         assert batch["user_id"].shape == (32,)
         n += 1
     assert n == 5
+
+
+def test_evaluation_sampler_device_masks_match_host_masks():
+    import jax.numpy as jnp
+    from openrec_tpu.metrics.ranking import ids_to_masks
+
+    train = make_interactions(seed=0)
+    val = make_interactions(seed=5)
+    train_store = InteractionStore(train, 40, 100, seed=0)
+    val_store = InteractionStore(val, 40, 100, seed=0)
+    host = list(EvaluationSampler(val_store, 16,
+                                  excl_stores=[train_store]))
+    dev = list(EvaluationSampler(val_store, 16,
+                                 excl_stores=[train_store],
+                                 device_masks=True))
+    assert len(host) == len(dev)
+    for hb, db in zip(host, dev):
+        np.testing.assert_array_equal(hb["user_id"], db["user_id"])
+        pos, excl = ids_to_masks(jnp.asarray(db["pos_ids"]),
+                                 jnp.asarray(db["excl_ids"]), 100)
+        # padded (invalid) rows differ by convention (host marks all
+        # excluded); compare valid rows only
+        v = hb["valid"]
+        np.testing.assert_array_equal(np.asarray(pos)[v],
+                                      hb["pos_mask"][v])
+        np.testing.assert_array_equal(np.asarray(excl)[v],
+                                      hb["excl_mask"][v])
+
+
+def test_prefetcher_two_workers_stress():
+    """Concurrent workers must not corrupt shared state (regression for a
+    race in the shared epoch-permutation stream)."""
+    data = make_interactions()
+    ds = Dataset(data, 40, 100, seed=0)
+    n = 0
+    for batch in ds.pairwise(batch_size=257, num_parallel_calls=2,
+                             take=300):
+        assert batch["user_id"].shape == (257,)
+        n += 1
+    assert n == 300
