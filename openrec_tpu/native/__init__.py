@@ -71,6 +71,10 @@ def load():
             i64p, ctypes.c_int64, i32p, i32p, i64p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32,
             i32p, i32p, i32p]
+        lib.pairwise_join_and_negatives_hash_mt.argtypes = [
+            i64p, ctypes.c_int64, i32p, i32p, i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32,
+            ctypes.c_int32, i32p, i32p, i32p]
         _lib = lib
         return _lib
 
@@ -138,7 +142,12 @@ def pairwise_batch(pos_keys: np.ndarray, rec_users: np.ndarray,
 def pairwise_batch_hash(hash_table: np.ndarray, rec_users: np.ndarray,
                         rec_items: np.ndarray, record_idx: np.ndarray,
                         total_items: int, seed: int,
-                        max_rounds: int = 64):
+                        max_rounds: int = 64, threads: int = None):
+    """threads=None: single-threaded (the Prefetcher's worker threads are
+    the parallelism level on small hosts); set OPENREC_TPU_SAMPLER_THREADS
+    or pass explicitly on many-core hosts."""
+    if threads is None:
+        threads = int(os.environ.get("OPENREC_TPU_SAMPLER_THREADS", "1"))
     lib = load()
     assert lib is not None
     b = len(record_idx)
@@ -146,7 +155,8 @@ def pairwise_batch_hash(hash_table: np.ndarray, rec_users: np.ndarray,
     out_u = np.empty(b, dtype=np.int32)
     out_p = np.empty(b, dtype=np.int32)
     out_n = np.empty(b, dtype=np.int32)
-    lib.pairwise_join_and_negatives_hash(
+    lib.pairwise_join_and_negatives_hash_mt(
         hash_table, len(hash_table), rec_users, rec_items, record_idx, b,
-        total_items, seed & (2 ** 64 - 1), max_rounds, out_u, out_p, out_n)
+        total_items, seed & (2 ** 64 - 1), max_rounds, threads,
+        out_u, out_p, out_n)
     return out_u, out_p, out_n

@@ -15,6 +15,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -122,15 +124,14 @@ void sample_negatives_hash(const int64_t* table, int64_t capacity,
   }
 }
 
-void pairwise_join_and_negatives_hash(
-    const int64_t* table, int64_t capacity,
+static void pairwise_range(
+    const int64_t* table, uint64_t mask,
     const int32_t* rec_users, const int32_t* rec_items,
-    const int64_t* record_idx, int64_t batch, int64_t total_items,
-    uint64_t seed, int32_t max_rounds,
+    const int64_t* record_idx, int64_t lo, int64_t hi,
+    int64_t total_items, uint64_t seed, int32_t max_rounds,
     int32_t* out_users, int32_t* out_pos, int32_t* out_neg) {
   Rng rng(seed);
-  uint64_t mask = (uint64_t)capacity - 1;
-  for (int64_t i = 0; i < batch; ++i) {
+  for (int64_t i = lo; i < hi; ++i) {
     int64_t r = record_idx[i];
     int32_t u = rec_users[r];
     out_users[i] = u;
@@ -143,6 +144,48 @@ void pairwise_join_and_negatives_hash(
     }
     out_neg[i] = (int32_t)cand;
   }
+}
+
+void pairwise_join_and_negatives_hash(
+    const int64_t* table, int64_t capacity,
+    const int32_t* rec_users, const int32_t* rec_items,
+    const int64_t* record_idx, int64_t batch, int64_t total_items,
+    uint64_t seed, int32_t max_rounds,
+    int32_t* out_users, int32_t* out_pos, int32_t* out_neg) {
+  pairwise_range(table, (uint64_t)capacity - 1, rec_users, rec_items,
+                 record_idx, 0, batch, total_items, seed, max_rounds,
+                 out_users, out_pos, out_neg);
+}
+
+// Multi-threaded variant: the batch splits into `threads` contiguous
+// ranges, each with an independent RNG stream (seed + tid). Determinism:
+// results depend on (seed, threads) but not on scheduling.
+void pairwise_join_and_negatives_hash_mt(
+    const int64_t* table, int64_t capacity,
+    const int32_t* rec_users, const int32_t* rec_items,
+    const int64_t* record_idx, int64_t batch, int64_t total_items,
+    uint64_t seed, int32_t max_rounds, int32_t threads,
+    int32_t* out_users, int32_t* out_pos, int32_t* out_neg) {
+  if (threads <= 1 || batch < 4096) {
+    pairwise_join_and_negatives_hash(table, capacity, rec_users, rec_items,
+                                     record_idx, batch, total_items, seed,
+                                     max_rounds, out_users, out_pos,
+                                     out_neg);
+    return;
+  }
+  uint64_t mask = (uint64_t)capacity - 1;
+  std::vector<std::thread> pool;
+  int64_t chunk = (batch + threads - 1) / threads;
+  for (int32_t t = 0; t < threads; ++t) {
+    int64_t lo = (int64_t)t * chunk;
+    int64_t hi = lo + chunk < batch ? lo + chunk : batch;
+    if (lo >= hi) break;
+    pool.emplace_back(pairwise_range, table, mask, rec_users, rec_items,
+                      record_idx, lo, hi, total_items,
+                      seed + (uint64_t)t * 0x9E3779B97f4A7C15ULL,
+                      max_rounds, out_users, out_pos, out_neg);
+  }
+  for (auto& th : pool) th.join();
 }
 
 // out[i] = 1 iff (users[i], items[i]) is an observed positive.

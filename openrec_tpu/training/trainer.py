@@ -316,7 +316,13 @@ class Trainer:
         avg_loss = Mean()
         last_results = {}
         t_start = time.time()
-        it = iter(train_batches)
+        # A Device*Sampler (data/device_sampler.py) trains with sampling
+        # fused into the device program; anything else is a batch iterable.
+        device_sampler = (train_batches
+                          if hasattr(train_batches, "sample")
+                          and not hasattr(train_batches, "__iter__")
+                          else None)
+        it = iter(train_batches) if device_sampler is None else None
         assert steps_per_call == 1 or train_iter_hook is None, \
             "train_iter_hook requires steps_per_call=1"
 
@@ -327,7 +333,9 @@ class Trainer:
         while i < total_iter:
             chunk = min(steps_per_call, total_iter - i)
             i += chunk
-            if chunk > 1:
+            if device_sampler is not None:
+                loss = self.train_steps_device(device_sampler, chunk)
+            elif chunk > 1:
                 loss = self.train_step_multi(
                     [next(it) for _ in range(chunk)])
             elif train_iter_hook is not None:
@@ -368,6 +376,46 @@ class Trainer:
         if hasattr(train_batches, "stop"):
             train_batches.stop()
         return last_results
+
+    def evaluate_temporal(self, eval_sampler, at=(50, 100)) -> dict:
+        """Next-item evaluation for sequence models: per user, rank the
+        held-out label among the full catalog (the tf1 flow —
+        TemporalEvaluationSampler feeding EvalManager.full_eval,
+        reference model_trainer.py:34-58). Returns AUC/Recall@K/NDCG@K
+        means over users (label = the single positive; no exclusions)."""
+        import jax.numpy as jnp
+
+        at_arr = tuple(at)
+        key = ("temporal", at_arr)
+        if key not in self._eval_step_cache:
+            model = self.model
+
+            @jax.jit
+            def step(params, batch, labels):
+                pred = model.score(params, batch)          # [B, I]
+                I = pred.shape[1]
+                label_score = jnp.take_along_axis(
+                    pred, labels[:, None], axis=1)[:, 0]
+                rank_above = jnp.sum(pred > label_score[:, None], axis=1)
+                auc = (I - 1 - rank_above) / (I - 1)
+                rec = jnp.stack([(rank_above < k).astype(jnp.float32)
+                                 for k in at_arr], axis=1)
+                ndcg = jnp.stack(
+                    [(rank_above < k)
+                     / (jnp.log(rank_above + 2.0) / jnp.log(2.0))
+                     for k in at_arr], axis=1)
+                return {"AUC": auc, "Recall": rec, "NDCG": ndcg}
+            self._eval_step_cache[key] = step
+
+        acc = DictMean({"AUC": [], "Recall": [len(at_arr)],
+                        "NDCG": [len(at_arr)]})
+        for batch in eval_sampler.epoch():
+            labels = jax.numpy.asarray(batch["label"])
+            feed = {k: jax.numpy.asarray(v) for k, v in batch.items()
+                    if k not in ("label", "valid")}
+            out = self._eval_step_cache[key](self.params, feed, labels)
+            acc.update_state(jax.device_get(out), valid=batch.get("valid"))
+        return acc.result()
 
     # ------------------------------------------------------------------ #
 

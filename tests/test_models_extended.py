@@ -352,3 +352,22 @@ def test_dlrm_bfloat16_compute():
     for i in range(10):
         loss, _ = tr.train_step(batch)
     assert np.isfinite(float(loss))
+
+
+def test_temporal_evaluation_flow():
+    from openrec_tpu.data.samplers import TemporalEvaluationSampler
+    store = _store(timestamps=True)
+    model = RNNRec(total_items=ITEMS, dim_item_embed=8, max_seq_len=5,
+                   num_units=16)
+    tr = Trainer(model, lr=0.01, seed=0)
+    from openrec_tpu.data.samplers import TemporalSampler
+    s = TemporalSampler(store, batch_size=32, max_seq_len=5, seed=0)
+    for i, b in enumerate(iter(s)):
+        if i >= 20:
+            break
+        tr.train_step(b)
+    ev = TemporalEvaluationSampler(store, batch_size=16, max_seq_len=5)
+    res = tr.evaluate_temporal(ev, at=(10, 50))
+    assert 0.0 <= res["AUC"] <= 1.0
+    assert res["Recall"].shape == (2,)
+    assert np.isfinite(res["NDCG"]).all()
