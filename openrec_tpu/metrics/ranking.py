@@ -23,7 +23,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_NEG_INF = -jnp.inf
 
 
 def _counts_leq_sorted(sorted_vals, queries):

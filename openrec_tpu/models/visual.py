@@ -25,7 +25,7 @@ and full-catalog serving are gathers/matmuls from it.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -101,12 +101,6 @@ class VBPR(Recommender):
         item_full = jnp.concatenate([params["item_embed"], proj], axis=-1)
         return user_vec @ item_full.T \
             + jnp.reshape(params["item_bias"], (-1,))
-
-
-def _average_item_pathway(mlp, params, item_embed_rows, features):
-    """legacy Average(weight=2.0) of latent + MLP(visual) = elementwise sum."""
-    proj = mlp.apply(params["visual_mlp"], features)
-    return item_embed_rows + proj
 
 
 @dataclasses.dataclass(frozen=True, eq=False)

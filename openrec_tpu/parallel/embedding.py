@@ -16,11 +16,9 @@ config) and Criteo-scale table collections exceed one chip's HBM.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from openrec_tpu.parallel.mesh import MODEL_AXIS
 

@@ -21,7 +21,7 @@ program, no recompiles.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
