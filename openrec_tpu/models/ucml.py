@@ -42,10 +42,12 @@ class UCML(Recommender):
 
     def loss(self, params, batch, rng=None):
         user_vec = embedding_lookup(params["user_embed"], batch["user_id"])
-        p_vec = embedding_lookup(params["item_embed"], batch["p_item_id"])
-        n_vec = embedding_lookup(params["item_embed"], batch["n_item_id"])
-        p_bias = embedding_lookup(params["item_bias"], batch["p_item_id"])
-        n_bias = embedding_lookup(params["item_bias"], batch["n_item_id"])
+        pn = jnp.concatenate([batch["p_item_id"], batch["n_item_id"]])
+        vecs = embedding_lookup(params["item_embed"], pn)
+        biases = embedding_lookup(params["item_bias"], pn)
+        B = batch["p_item_id"].shape[0]
+        p_vec, n_vec = vecs[:B], vecs[B:]
+        p_bias, n_bias = biases[:B], biases[B:]
         task = pairwise_eudist_hinge_loss(user_vec, p_vec, n_vec,
                                           p_bias, n_bias, self.margin)
         l2 = l2_half(user_vec, p_vec, n_vec)
