@@ -100,6 +100,39 @@ def Precision(pos_mask, pred, excl_mask, at=(100,)):
         pos_mask, pred, excl_mask, at_arr)
 
 
+def metrics_from_counts(ranks, leq_counts, valid_pos, num_eval, at):
+    """Assemble the metric dict from per-positive rank counts.
+
+    The sharded (parallel/metrics.py) and chunked (metrics/chunked.py)
+    catalog-scale eval paths both reduce to these sufficient statistics —
+    per positive item: rank_above under the exp·¬excl transform (`ranks`,
+    [B, P]) and #eval items with score ≤ it (`leq_counts`, [B, P]) — from
+    which AUC/Recall/NDCG/Precision follow exactly as in the dense
+    implementations above (same ≤/< conventions).
+
+    valid_pos: [B, P] bool (False for -1 pads); num_eval: [B];
+    at: int32 [K]. Returns {"AUC": [B], "Recall"/"NDCG"/"Precision":
+    [B, K]}.
+    """
+    ranks = ranks.astype(jnp.int32)
+    num_pos = jnp.sum(valid_pos, axis=1)
+    hits = (ranks[:, None, :] < at[None, :, None]) & valid_pos[:, None, :]
+
+    recall = jnp.sum(hits, axis=2).astype(jnp.float32) \
+        / jnp.maximum(num_pos, 1)[:, None]
+    precision = jnp.sum(hits, axis=2).astype(jnp.float32) \
+        / at.astype(jnp.float32)[None, :]
+    log_recip = 1.0 / (jnp.log(ranks.astype(jnp.float32) + 2.0)
+                       / jnp.log(2.0))
+    ndcg = jnp.sum(jnp.where(hits, log_recip[:, None, :], 0.0), axis=2)
+
+    total = jnp.sum(jnp.where(valid_pos, leq_counts, 0), axis=1)
+    denom = (num_pos * num_eval).astype(jnp.float32)
+    auc = jnp.where(denom > 0, total.astype(jnp.float32) / denom, 0.0)
+    return {"AUC": auc, "Recall": recall, "NDCG": ndcg,
+            "Precision": precision}
+
+
 def MSE(pred, labels):
     """Per-example squared error (tf1 evaluators/mse.py:10-12)."""
     return (pred - labels) ** 2

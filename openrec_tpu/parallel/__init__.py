@@ -5,3 +5,5 @@ from openrec_tpu.parallel.train import (
     make_parallel_eval_step, make_parallel_train_step)
 from openrec_tpu.parallel.embedding import (
     pad_rows, sharded_lookup, sharded_scores, sharded_topk)
+from openrec_tpu.parallel.metrics import (
+    sharded_dot_eval_metrics, sharded_eval_metrics)

@@ -97,3 +97,18 @@ class CachedDotProductScorer:
             self.cache(params)
         return self._topk_fn(self._U[jnp.asarray(user_ids)], self._V,
                              self._b, k)
+
+    def eval_metrics(self, params, user_ids, pos_ids, excl_ids,
+                     at=(50, 100), chunk: int = 16384):
+        """AUC/Recall@K/NDCG@K/Precision@K in O(B·chunk) memory — the
+        giant-catalog eval path (metrics/chunked.py): the [B, total_items]
+        score row is never materialized, so eval batches stay cheap at the
+        amazon config's 450k items. pos_ids/excl_ids are -1-padded id
+        lists (EvaluationSampler device_masks=True batches)."""
+        from openrec_tpu.metrics.chunked import chunked_dot_eval_metrics
+        if self._dirty:
+            self.cache(params)
+        return chunked_dot_eval_metrics(
+            self._U[jnp.asarray(user_ids)], self._V, self._b,
+            jnp.asarray(pos_ids), jnp.asarray(excl_ids),
+            total_items=self.total_items, chunk=chunk, at=tuple(at))

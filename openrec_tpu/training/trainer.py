@@ -257,15 +257,28 @@ class Trainer:
         return self._eval_step_cache[key]
 
     def evaluate(self, eval_sampler, at=(50, 100),
-                 eval_fn: Callable = None) -> dict:
+                 eval_fn: Callable = None, scorer=None,
+                 eval_chunk: int = 16384) -> dict:
         """Run one epoch of an EvaluationSampler; returns metric means.
-        Accepts mask batches or id batches (device_masks=True)."""
+        Accepts mask batches or id batches (device_masks=True).
+
+        scorer: optional CachedDotProductScorer — switches id batches to
+        the chunked giant-catalog path (O(B·eval_chunk) memory instead of
+        a [B, total_items] score row; see metrics/chunked.py)."""
         acc = DictMean({"AUC": [], "Recall": [len(at)],
                         "NDCG": [len(at)], "Precision": [len(at)]})
+        if scorer is not None:
+            # params changed since the last eval epoch (the reference's
+            # _model_updated flag, fast_dot_product_server.py:132-141)
+            scorer.mark_dirty()
         for batch in eval_sampler:
             if eval_fn is not None:
                 out = eval_fn(self.params, batch["user_id"],
                               batch["pos_mask"], batch["excl_mask"])
+            elif scorer is not None and "pos_ids" in batch:
+                out = scorer.eval_metrics(
+                    self.params, batch["user_id"], batch["pos_ids"],
+                    batch["excl_ids"], at=tuple(at), chunk=eval_chunk)
             elif "pos_ids" in batch:
                 step = self._default_eval_step(at, from_ids=True)
                 out = step(self.params, batch["user_id"],
