@@ -7,3 +7,4 @@ from openrec_tpu.parallel.embedding import (
     pad_rows, sharded_lookup, sharded_scores, sharded_topk)
 from openrec_tpu.parallel.metrics import (
     sharded_dot_eval_metrics, sharded_eval_metrics)
+from openrec_tpu.parallel import checkpoint as sharded_checkpoint
