@@ -5,6 +5,9 @@ from openrec_tpu.parallel.train import (
     make_parallel_eval_step, make_parallel_train_step)
 from openrec_tpu.parallel.embedding import (
     pad_rows, sharded_lookup, sharded_scores, sharded_topk)
+from openrec_tpu.parallel.bucketed import (
+    alltoall_lookup, bucket_batch, bucket_batch_2d, bucket_ids,
+    gathered_lookup)
 from openrec_tpu.parallel.metrics import (
     sharded_dot_eval_metrics, sharded_eval_metrics)
 from openrec_tpu.parallel import checkpoint as sharded_checkpoint
