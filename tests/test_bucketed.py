@@ -102,6 +102,71 @@ def test_alltoall_lookup_grad_matches_dense():
     np.testing.assert_allclose(np.asarray(g), dense, rtol=1e-6, atol=1e-6)
 
 
+def test_bucketed_train_step_matches_dense():
+    """End-to-end: a jitted BPR step whose every table access routes
+    through the bucketed exchange (host buckets ids per data shard before
+    device_put; merged pos+neg stream bucketed once, like the models'
+    merged gather) produces the same SGD update as the dense oracle."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from openrec_tpu.modules.losses import pairwise_log_loss
+
+    mesh = make_mesh(data=2, model=4)
+    users, items, dim, b = 24, 40, 4, 16
+    rng = np.random.default_rng(10)
+    u_tab = _table(pad_rows(users, 4), dim, seed=11)
+    i_tab = _table(pad_rows(items, 4), dim, seed=12)
+    uid = rng.integers(0, users, size=(b,)).astype(np.int32)
+    pid = rng.integers(0, items, size=(b,)).astype(np.int32)
+    nid = rng.integers(0, items, size=(b,)).astype(np.int32)
+
+    # host-side routing: bucket each table's id stream per data shard
+    ub, uinv = bucket_batch(uid, 4, u_tab.shape[0] // 4, data_shards=2)
+    pn = np.concatenate([pid.reshape(2, b // 2), nid.reshape(2, b // 2)],
+                        axis=1).reshape(-1)     # per-data-shard pos‖neg
+    ib, iinv = bucket_batch(pn, 4, i_tab.shape[0] // 4, data_shards=2)
+
+    lr = 0.1
+
+    @jax.jit
+    def step(ut, it, ub, uinv, ib, iinv):
+        def loss_fn(tabs):
+            u = gathered_lookup(tabs[0], ub, uinv, mesh)
+            vecs = gathered_lookup(tabs[1], ib, iinv, mesh)
+            pv = vecs.reshape(2, b, dim)[:, :b // 2].reshape(b, dim)
+            nv = vecs.reshape(2, b, dim)[:, b // 2:].reshape(b, dim)
+            zero = jnp.zeros((b, 1))
+            return pairwise_log_loss(u, pv, nv, zero, zero)
+
+        loss, grads = jax.value_and_grad(loss_fn)((ut, it))
+        return loss, ut - lr * grads[0], it - lr * grads[1]
+
+    rs = NamedSharding(mesh, P("model", None))
+    loss, u_new, i_new = step(
+        jax.device_put(u_tab, rs), jax.device_put(i_tab, rs),
+        jnp.asarray(ub), jnp.asarray(uinv), jnp.asarray(ib),
+        jnp.asarray(iinv))
+
+    # dense oracle (note: gathered rows come back in per-data-shard order —
+    # user rows too — so permute uid the same way)
+    uid_perm = uid.reshape(2, b // 2).reshape(-1)  # identity here
+    import jax.numpy as _jnp
+
+    def oracle(ut, it):
+        u = _jnp.take(ut, uid_perm, axis=0)
+        pv = _jnp.take(it, pid, axis=0)
+        nv = _jnp.take(it, nid, axis=0)
+        zero = _jnp.zeros((b, 1))
+        return pairwise_log_loss(u, pv, nv, zero, zero)
+
+    ol, og = jax.value_and_grad(oracle, argnums=(0, 1))(
+        jnp.asarray(u_tab), jnp.asarray(i_tab))
+    np.testing.assert_allclose(float(loss), float(ol), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(u_new), u_tab - lr *
+                               np.asarray(og[0]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(i_new), i_tab - lr *
+                               np.asarray(og[1]), rtol=1e-5, atol=1e-6)
+
+
 def test_gathered_matches_masked_psum_lookup():
     """The two explicit exchange strategies agree on the same table."""
     mesh = make_mesh(data=2, model=4)
