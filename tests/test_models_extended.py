@@ -371,3 +371,49 @@ def test_temporal_evaluation_flow():
     assert 0.0 <= res["AUC"] <= 1.0
     assert res["Recall"].shape == (2,)
     assert np.isfinite(res["NDCG"]).all()
+
+
+def test_bf16_serving_cache_matches_fp32_ranking():
+    """serve_dtype=bfloat16 halves cached-table HBM traffic (the serving
+    throughput lever, benchmarks/retrieval_dtype.py); scores accumulate in
+    fp32 so rankings only differ at near-ties. With well-separated scores
+    the top-k must be identical to the fp32 cache."""
+    from openrec_tpu.serving import CachedDotProductScorer
+
+    users, items, dim, k = 20, 300, 16, 10
+    rng = np.random.default_rng(0)
+    U = rng.normal(size=(users, dim)).astype(np.float32)
+    V = rng.normal(size=(items, dim)).astype(np.float32)
+    # Separate item score levels by ~i so gaps dwarf bf16 rounding.
+    b = np.arange(items, dtype=np.float32)[::-1].copy()
+    params = {"U": jnp.asarray(U), "V": jnp.asarray(V), "b": jnp.asarray(b)}
+
+    def mk(dt):
+        return CachedDotProductScorer(
+            None, users, items,
+            extract_user_vecs=lambda p, i: p["U"][i],
+            extract_item_vecs=lambda p, i: p["V"][i],
+            extract_item_bias=lambda p, i: p["b"][i],
+            serve_dtype=dt)
+
+    ids = np.arange(users, dtype=np.int32)
+    s32 = mk(jnp.float32)
+    s16 = mk(jnp.bfloat16)
+    sc32 = np.asarray(s32.serve(params, ids))
+    sc16 = np.asarray(s16.serve(params, ids))
+    assert sc16.dtype == np.float32          # fp32 accumulation + bias
+    np.testing.assert_allclose(sc16, sc32, rtol=0, atol=0.15)
+    _, i32 = s32.topk(params, ids, k)
+    _, i16 = s16.topk(params, ids, k)
+    np.testing.assert_array_equal(np.asarray(i16), np.asarray(i32))
+
+    # eval_metrics always ranks in fp32; with separated scores the two
+    # caches must agree exactly.
+    pos = rng.integers(0, items, size=(users, 3)).astype(np.int32)
+    excl = np.full((users, 2), -1, np.int32)
+    m32 = s32.eval_metrics(params, ids, pos, excl, at=(10,), chunk=128)
+    m16 = s16.eval_metrics(params, ids, pos, excl, at=(10,), chunk=128)
+    for key in m32:
+        np.testing.assert_allclose(np.asarray(m16[key]),
+                                   np.asarray(m32[key]),
+                                   rtol=1e-4, atol=1e-5, err_msg=key)
