@@ -54,7 +54,8 @@ scorer = CachedDotProductScorer(
         embedding_lookup(p["item_embed"], ids),
         model._visual_mlp.apply(p["visual_mlp"],
                                 jnp.asarray(features)[ids])], axis=-1),
-    extract_item_bias=lambda p, ids: embedding_lookup(p["item_bias"], ids))
+    extract_item_bias=lambda p, ids: embedding_lookup(p["item_bias"], ids),
+    serve_dtype=jnp.bfloat16)   # halves table HBM traffic at 166k items
 
 sampler = train_dataset.pairwise(
     batch_size=batch_size, num_parallel_calls=4,
@@ -68,7 +69,8 @@ for i, batch in enumerate(sampler):
     if i % eval_interval == 0 and i > 0:
         scorer.mark_dirty()
         top_vals, top_ids = scorer.topk(
-            trainer.params, np.arange(64, dtype=np.int32), k=100)
+            trainer.params, np.arange(64, dtype=np.int32), k=100,
+            approx=True)   # TPU PartialReduce: ~10x exact lax.top_k
         print(f"Iter {i}  loss {float(loss):.4f}  "
               f"top1 score {float(np.asarray(top_vals)[:, 0].mean()):.4f}",
               flush=True)

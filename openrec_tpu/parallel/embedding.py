@@ -79,16 +79,27 @@ def sharded_scores(user_vecs, table, bias, mesh, axis: str = MODEL_AXIS):
         check_vma=False)(user_vecs, table, bias)
 
 
-def sharded_topk(scores, k: int, mesh, axis: str = MODEL_AXIS):
+def sharded_topk(scores, k: int, mesh, axis: str = MODEL_AXIS,
+                 approx: bool = False, recall_target: float = 0.99):
     """Top-k over an item-sharded score matrix [B, I] P(..., axis):
     per-shard top-k, then all_gather the k candidates and reduce — the
-    classic two-phase distributed top-k (k ≪ I/shards)."""
+    classic two-phase distributed top-k (k ≪ I/shards).
+
+    approx=True runs phase 1 through `lax.approx_max_k` (TPU
+    PartialReduce) — the dominant cost at big per-shard catalogs, ~10×
+    faster than exact sort-bound top-k (docs/PERF_NOTES.md); phase 2
+    (k·shards candidates) stays exact, so overall recall ≥ the per-shard
+    recall_target and every returned (score, id) is exact."""
     num_shards = mesh.shape[axis]
     rows_per_shard = scores.shape[-1] // num_shards
 
     def _kernel(s_local):
         shard = jax.lax.axis_index(axis)
-        vals, idx = jax.lax.top_k(s_local, k)
+        if approx:
+            vals, idx = jax.lax.approx_max_k(
+                s_local, k, recall_target=recall_target)
+        else:
+            vals, idx = jax.lax.top_k(s_local, k)
         idx = idx + shard * rows_per_shard
         vals = jax.lax.all_gather(vals, axis, axis=-1, tiled=True)
         idx = jax.lax.all_gather(idx, axis, axis=-1, tiled=True)

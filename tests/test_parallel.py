@@ -74,6 +74,17 @@ def test_sharded_scores_and_topk_match_dense():
         np.take_along_axis(want, np.asarray(idx), axis=1),
         np.asarray(dense_vals), rtol=1e-5)
 
+    # approx phase-1 (TPU PartialReduce serving path): returned scores
+    # must be exact at their ids; set recall vs dense exact >= 0.95.
+    a_vals, a_idx = sharded_topk(scores, 10, mesh, approx=True)
+    np.testing.assert_allclose(
+        np.take_along_axis(want, np.asarray(a_idx), axis=1),
+        np.asarray(a_vals), rtol=1e-5)
+    di, ai = np.asarray(dense_idx), np.asarray(a_idx)
+    recall = np.mean([len(set(di[r]) & set(ai[r])) / 10
+                      for r in range(di.shape[0])])
+    assert recall >= 0.95, recall
+
 
 def test_dp_train_step_matches_single_device():
     """Pure data parallelism must be numerically identical to one device."""
