@@ -97,12 +97,12 @@ def _measure_host_path(steps_per_call):
     tr.train_step_multi_flat(next(it), steps_per_call)
     jax.block_until_ready(tr.params)
 
-    # Best of 3 trials: the 2-vCPU host shares cores between the feeder
+    # Best of 5 trials: the 2-vCPU host shares cores between the feeder
     # workers and the dispatch thread, so single-trial numbers are noisy
     # (scheduler interference), while the best trial is stable.
     n_calls = max(1, MEASURE_STEPS // steps_per_call)
     best = 0.0
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         for _ in range(n_calls):
             tr.train_step_multi_flat(next(it), steps_per_call)
