@@ -46,6 +46,11 @@ def bench(users, items, dim, batch, k, trials=50):
     params = {"U": jnp.asarray(U), "V": jnp.asarray(V), "b": jnp.asarray(b)}
     ids_np = np.arange(batch, dtype=np.int32)
     ids_dev = jnp.asarray(ids_np)
+    # Distinct pre-staged id batches for the pipelined loop: identical
+    # args per dispatch produce async-dispatch artifacts on this backend
+    # (CLAUDE.md / PERF_NOTES) — rotate so every dispatch has fresh input.
+    ids_pool = [jnp.asarray((ids_np + off * batch) % users)
+                for off in range(8)]
 
     out = {}
     ref_idx = None
@@ -66,10 +71,13 @@ def bench(users, items, dim, batch, k, trials=50):
             latency_ms = (time.perf_counter() - t0) * 1e3
 
             t0 = time.perf_counter()
-            for _ in range(trials):
-                vals, idx = sc.topk(params, ids_dev, k, approx=approx)
+            for t in range(trials):
+                vals, idx = sc.topk(params, ids_pool[t % len(ids_pool)],
+                                    k, approx=approx)
             jax.block_until_ready((vals, idx))
             pipelined_ms = (time.perf_counter() - t0) / trials * 1e3
+            # recall check below compares against ids_dev's batch
+            vals, idx = sc.topk(params, ids_dev, k, approx=approx)
 
             idx = np.asarray(idx)
             if ref_idx is None:

@@ -361,9 +361,19 @@ class EvaluationSampler:
                 "device_masks requires an implicit store without "
                 "pre-sampled negatives")
             self._pos_pad = int(store.user_positive_counts().max())
-            self._excl_pad = max(
-                (int(ex.user_positive_counts().max())
-                 for ex in self.excl_stores), default=1)
+            # Exclusion ids from ALL excl stores are concatenated per user
+            # (reference tf2 dataset.py:78-81 concatenates excl_datasets),
+            # so the pad width is the max over users of the SUMMED counts.
+            if self.excl_stores:
+                n_users = max(len(ex.user_positive_counts())
+                              for ex in self.excl_stores)
+                total = np.zeros(n_users, dtype=np.int64)
+                for ex in self.excl_stores:
+                    c = ex.user_positive_counts()
+                    total[:len(c)] += c
+                self._excl_pad = max(1, int(total.max()))
+            else:
+                self._excl_pad = 1
 
     def __len__(self):
         return -(-len(self.eval_users) // self.batch_size)
@@ -407,11 +417,18 @@ class EvaluationSampler:
             row = items[ptr[u]:ptr[u + 1]]
             pos_ids[r, :len(row)] = row
         excl_ids = np.full((B, self._excl_pad), -1, dtype=np.int32)
+        # Each store appends at the running per-row offset so multiple
+        # excl stores concatenate (reference dataset.py:78-81) instead of
+        # overwriting each other.
+        offs = np.zeros(B, dtype=np.int64)
         for ex in self.excl_stores:
             eptr, eitems = ex.positive_csr()
             for r, u in enumerate(users):
+                if u + 1 >= len(eptr):
+                    continue
                 row = eitems[eptr[u]:eptr[u + 1]]
-                excl_ids[r, :len(row)] = row
+                excl_ids[r, offs[r]:offs[r] + len(row)] = row
+                offs[r] += len(row)
         return pos_ids, excl_ids
 
     def __iter__(self):

@@ -13,8 +13,9 @@ materializing [B, I]). Mosaic cannot currently lower `lax.top_k` inside a
 TPU kernel, so on TPU it is only runnable in interpret mode; it exists as
 the blueprint for the day the merge primitive lands (or for a manual
 bitonic-merge variant) and is exercised against the XLA oracle in
-tests/test_ops.py. Production code should call `topk_xla` (or
-parallel/embedding.py's `sharded_topk` for row-sharded catalogs).
+tests/test_ops.py. Production retrieval should call `topk_approx` (big
+catalogs) or `topk_xla` (exact ranking / eval parity); row-sharded
+catalogs use parallel/embedding.py's `sharded_topk`.
 """
 
 from __future__ import annotations

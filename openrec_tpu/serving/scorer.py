@@ -52,7 +52,9 @@ class CachedDotProductScorer:
         self._bs = extract_batch_size
         self._serve_dtype = jnp.dtype(serve_dtype)
         self._dirty = True
+        self._dirty32 = True
         self._U = self._V = self._b = None
+        self._U32 = self._V32 = None
 
         # The user-row gather lives INSIDE the jitted programs: one XLA
         # dispatch per query batch instead of gather-then-score (per-call
@@ -84,6 +86,7 @@ class CachedDotProductScorer:
         `_model_updated` inside its trainer, fast_dot_product_server.py:
         132-141)."""
         self._dirty = True
+        self._dirty32 = True
 
     def _extract_all(self, extract, total, params):
         outs = []
@@ -136,10 +139,22 @@ class CachedDotProductScorer:
         from openrec_tpu.metrics.chunked import chunked_dot_eval_metrics
         if self._dirty:
             self.cache(params)
-        # Metrics always rank in fp32 regardless of serve_dtype (the cast
-        # is one cheap device-side pass; eval exactness > eval speed).
+        # Metrics rank from FRESH fp32 extractions, not an upcast of the
+        # serve caches: with serve_dtype=bfloat16 the caches were already
+        # rounded, and upcasting cannot recover that precision — eval must
+        # match reference/fp32 semantics exactly.
+        if self._serve_dtype == jnp.float32:
+            U32, V32 = self._U, self._V
+        else:
+            if self._dirty32 or self._U32 is None:
+                self._U32 = self._extract_all(
+                    self._extract_user, self.total_users, params)
+                self._V32 = self._extract_all(
+                    self._extract_item, self.total_items, params)
+                self._dirty32 = False
+            U32, V32 = self._U32, self._V32
         return chunked_dot_eval_metrics(
-            self._U[jnp.asarray(user_ids)].astype(jnp.float32),
-            self._V.astype(jnp.float32), self._b,
+            U32[jnp.asarray(user_ids)],
+            V32, self._b,
             jnp.asarray(pos_ids), jnp.asarray(excl_ids),
             total_items=self.total_items, chunk=chunk, at=tuple(at))

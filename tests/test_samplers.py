@@ -175,6 +175,45 @@ def test_evaluation_sampler_device_masks_match_host_masks():
                                       hb["excl_mask"][v])
 
 
+def test_evaluation_sampler_device_masks_multi_excl_stores():
+    """Regression: with >=2 excl stores the id path must concatenate all
+    stores' exclusions (reference tf2 dataset.py:78-81), not clobber them,
+    and pad to the summed width — id-path masks == mask-path masks."""
+    import jax.numpy as jnp
+    from openrec_tpu.metrics.ranking import ids_to_masks
+
+    train = make_interactions(seed=0)
+    val = make_interactions(seed=5)
+    test = make_interactions(seed=9)
+    train_store = InteractionStore(train, 40, 100, seed=0)
+    val_store = InteractionStore(val, 40, 100, seed=0)
+    test_store = InteractionStore(test, 40, 100, seed=0)
+    host = list(EvaluationSampler(test_store, 16,
+                                  excl_stores=[train_store, val_store]))
+    dev = list(EvaluationSampler(test_store, 16,
+                                 excl_stores=[train_store, val_store],
+                                 device_masks=True))
+    assert len(host) == len(dev)
+    saw_multi = False
+    for hb, db in zip(host, dev):
+        np.testing.assert_array_equal(hb["user_id"], db["user_id"])
+        pos, excl = ids_to_masks(jnp.asarray(db["pos_ids"]),
+                                 jnp.asarray(db["excl_ids"]), 100)
+        v = hb["valid"]
+        np.testing.assert_array_equal(np.asarray(pos)[v],
+                                      hb["pos_mask"][v])
+        np.testing.assert_array_equal(np.asarray(excl)[v],
+                                      hb["excl_mask"][v])
+        # the scenario is only exercised if some user has exclusions in
+        # both stores
+        n_excl = (db["excl_ids"][v] >= 0).sum(axis=1)
+        n_first = np.array([
+            len(train_store.get_positive_items(u))
+            for u in db["user_id"][v]])
+        saw_multi |= bool((n_excl > n_first).any())
+    assert saw_multi
+
+
 def test_prefetcher_two_workers_stress():
     """Concurrent workers must not corrupt shared state (regression for a
     race in the shared epoch-permutation stream)."""
