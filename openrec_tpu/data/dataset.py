@@ -43,10 +43,16 @@ class Dataset:
         return Prefetcher(sampler, num_workers=num_parallel_calls, take=take)
 
     def pairwise(self, batch_size, num_parallel_calls=1, take=None,
-                 joins=()):
-        s = PairwiseSampler(self.store, batch_size, seed=self._seed)
+                 joins=(), chronological=False):
+        """chronological=True: one unshuffled sequential epoch in raw-data
+        order (finite; forces 1 worker) — the legacy temporal-training mode
+        (reference legacy/utils/samplers/pairwise_sampler.py:24-44)."""
+        s = PairwiseSampler(self.store, batch_size, seed=self._seed,
+                            chronological=chronological)
         if joins:
             s = FeatureJoinedSampler(s, joins)
+        if chronological:
+            num_parallel_calls = 1
         return self._wrap(s, num_parallel_calls, take)
 
     def n_pairwise(self, batch_size, num_negatives, num_parallel_calls=1,
@@ -72,9 +78,11 @@ class Dataset:
         return self._wrap(s, num_parallel_calls, take)
 
     def explicit(self, batch_size, label_field="label",
-                 num_parallel_calls=1, take=None):
+                 num_parallel_calls=1, take=None, chronological=False):
         s = ExplicitSampler(self.store, batch_size, label_field,
-                            seed=self._seed)
+                            seed=self._seed, chronological=chronological)
+        if chronological:
+            num_parallel_calls = 1
         return self._wrap(s, num_parallel_calls, take)
 
     def temporal(self, batch_size, max_seq_len, num_parallel_calls=1,
@@ -93,6 +101,12 @@ class Dataset:
             self.store, batch_size,
             excl_stores=[d.store for d in excl_datasets],
             device_masks=device_masks)
+
+    def regression_evaluation(self, batch_size, label_field="label"):
+        """Per-record (user, item, label) eval stream — the legacy
+        'regression' etype (MSE) path."""
+        from openrec_tpu.data.samplers import RegressionEvalSampler
+        return RegressionEvalSampler(self.store, batch_size, label_field)
 
     def temporal_evaluation(self, batch_size, max_seq_len, joins=()):
         s = TemporalEvaluationSampler(self.store, batch_size, max_seq_len)

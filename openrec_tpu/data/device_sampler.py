@@ -2,14 +2,14 @@
 
 The host pipeline (samplers.py) mirrors the reference's semantics exactly.
 This module is the TPU-native alternative: the interaction index lives in
-device memory (a sorted composite-key array + flat record arrays — a few MB
-even for Amazon-scale data), and batch construction happens INSIDE the
-jitted train program:
+device memory (a sorted composite-key array or a bit array + flat record
+arrays — a few MB even for Amazon-scale data), and batch construction
+happens INSIDE the jitted train program:
 
   - positive picks: uniform records (with replacement);
   - negatives: uniform over the catalog with `REJECT_ROUNDS` fixed
-    resampling rounds against the sorted-key membership index. Residual
-    positive probability after R rounds is density^(R+1) — for CiteULike
+    resampling rounds against the membership index. Residual positive
+    probability after R rounds is density^(R+1) — for CiteULike
     (density 2e-3) that is < 1e-13 at R=4; the same check the host sampler
     does exactly (store.py:171-189), made XLA-shaped (static rounds).
 
@@ -17,7 +17,8 @@ Fused with Trainer.train_steps_device, the input pipeline costs zero
 host↔device transfers and zero host CPU — the whole train loop is one
 device program per K steps. Under a mesh, each data shard folds its
 axis index into the RNG so shards draw disjoint streams (the fix for the
-reference's duplicate-batch race, SURVEY.md §5.2, applied on device).
+reference's duplicate-batch race, SURVEY.md §5.2, applied on device) —
+see parallel/train.py make_parallel_device_train_step.
 """
 
 from __future__ import annotations
@@ -29,8 +30,8 @@ import numpy as np
 REJECT_ROUNDS = 4
 
 
-class DevicePairwiseSampler:
-    """On-device (user, pos, neg) triplet sampler over a static index.
+class _MembershipIndex:
+    """On-device (user, item)∈positives test, shared by the samplers.
 
     membership:
       'bitmap'      — a U·I bit array in HBM; one gather + bit test per
@@ -38,19 +39,18 @@ class DevicePairwiseSampler:
                       is ≤ `bitmap_limit_bytes`).
       'searchsorted'— binary search over the sorted key array
                       (log₂N serialized gather rounds; any scale).
+    TPUs emulate int64 (2x int32 ops); keys are int32 whenever
+    user*I+item fits, which covers catalogs up to ~2B pairs.
     """
 
-    def __init__(self, store, batch_size: int, membership: str = "auto",
+    def __init__(self, store, membership: str = "auto",
                  bitmap_limit_bytes: int = 256 * 1024 * 1024):
-        self.batch_size = int(batch_size)
         self.total_items = store.total_items()
         n_pairs = store.total_users() * store.total_items()
         if membership == "auto":
             membership = ("bitmap" if n_pairs // 8 <= bitmap_limit_bytes
                           else "searchsorted")
         self.membership = membership
-        # TPUs emulate int64 (2x int32 ops); use int32 keys whenever
-        # user*I+item fits, which covers catalogs up to ~2B pairs.
         fits32 = n_pairs < 2 ** 31
         self._key_dtype = jnp.int32 if fits32 else jnp.int64
         if membership == "bitmap":
@@ -63,9 +63,6 @@ class DevicePairwiseSampler:
         else:
             self._pos_keys = jnp.asarray(store._pos_keys.astype(
                 np.int32 if fits32 else np.int64))
-        self._rec_users = jnp.asarray(store._pos_users, dtype=jnp.int32)
-        self._rec_items = jnp.asarray(store._pos_items, dtype=jnp.int32)
-        self.num_records = int(self._rec_users.shape[0])
 
     def is_positive(self, users, items):
         keys = users.astype(self._key_dtype) * self.total_items \
@@ -79,6 +76,24 @@ class DevicePairwiseSampler:
         idx = jnp.searchsorted(self._pos_keys, keys)
         idx = jnp.clip(idx, 0, self._pos_keys.shape[0] - 1)
         return self._pos_keys[idx] == keys
+
+
+class DevicePairwiseSampler:
+    """On-device (user, pos, neg) triplet sampler over a static index."""
+
+    def __init__(self, store, batch_size: int, membership: str = "auto",
+                 bitmap_limit_bytes: int = 256 * 1024 * 1024):
+        self.batch_size = int(batch_size)
+        self.total_items = store.total_items()
+        self._index = _MembershipIndex(store, membership,
+                                       bitmap_limit_bytes)
+        self.membership = self._index.membership
+        self._rec_users = jnp.asarray(store._pos_users, dtype=jnp.int32)
+        self._rec_items = jnp.asarray(store._pos_items, dtype=jnp.int32)
+        self.num_records = int(self._rec_users.shape[0])
+
+    def is_positive(self, users, items):
+        return self._index.is_positive(users, items)
 
     def sample(self, rng):
         """rng -> batch dict of device arrays; pure & jit-safe."""
@@ -101,24 +116,25 @@ class DevicePairwiseSampler:
 
 
 class DevicePointwiseSampler:
-    """On-device stratified pointwise batches (pos_ratio mix)."""
+    """On-device stratified pointwise batches (pos_ratio mix). Shares the
+    bitmap/int32 membership fast path with the pairwise sampler."""
 
-    def __init__(self, store, batch_size: int, pos_ratio: float = 0.5):
+    def __init__(self, store, batch_size: int, pos_ratio: float = 0.5,
+                 membership: str = "auto",
+                 bitmap_limit_bytes: int = 256 * 1024 * 1024):
         self.batch_size = int(batch_size)
         self.n_pos = int(batch_size * pos_ratio)
         self.total_users = store.total_users()
         self.total_items = store.total_items()
-        self._pos_keys = jnp.asarray(store._pos_keys)
+        self._index = _MembershipIndex(store, membership,
+                                       bitmap_limit_bytes)
+        self.membership = self._index.membership
         self._rec_users = jnp.asarray(store._pos_users, dtype=jnp.int32)
         self._rec_items = jnp.asarray(store._pos_items, dtype=jnp.int32)
         self.num_records = int(self._rec_users.shape[0])
 
     def is_positive(self, users, items):
-        keys = users.astype(jnp.int64) * self.total_items \
-            + items.astype(jnp.int64)
-        idx = jnp.searchsorted(self._pos_keys, keys)
-        idx = jnp.clip(idx, 0, self._pos_keys.shape[0] - 1)
-        return self._pos_keys[idx] == keys
+        return self._index.is_positive(users, items)
 
     def sample(self, rng):
         B, P = self.batch_size, self.n_pos
@@ -145,3 +161,49 @@ class DevicePointwiseSampler:
         items = items.at[P:].set(ni)
         labels = jnp.zeros((B,), jnp.float32).at[:P].set(1.0)
         return {"user_id": users, "item_id": items, "label": labels}
+
+
+class DeviceTemporalSampler:
+    """On-device sequence windows: the per-user time-sorted CSR lives in
+    HBM; each sample picks a warm user, a uniform predict position in
+    [1, count-1], and gathers the left-aligned zero-padded window — the
+    host TemporalSampler's semantics (samplers.py TemporalSampler /
+    reference tf1 temporal_sampler.py:5-29) as one XLA-shaped program."""
+
+    def __init__(self, store, batch_size: int, max_seq_len: int):
+        self.batch_size = int(batch_size)
+        self.max_seq_len = int(max_seq_len)
+        counts = store.user_positive_counts()
+        seq_users = np.flatnonzero(counts > 1)
+        if len(seq_users) == 0:
+            raise ValueError("No user has more than one interaction.")
+        self._seq_users = jnp.asarray(seq_users.astype(np.int32))
+        self._counts = jnp.asarray(counts.astype(np.int32))
+        ptr, _ = store.positive_csr()
+        self._ptr = jnp.asarray(ptr.astype(np.int32))
+        items = (store._csr_items_sorted
+                 if store._csr_items_sorted is not None
+                 else store._csr_items)
+        self._items = jnp.asarray(items.astype(np.int32))
+
+    def sample(self, rng):
+        B, L = self.batch_size, self.max_seq_len
+        r_u, r_p = jax.random.split(rng)
+        users = self._seq_users[jax.random.randint(
+            r_u, (B,), 0, self._seq_users.shape[0])]
+        cnt = self._counts[users]
+        # uniform in [1, cnt-1] via mod (the host sampler draws
+        # rng.integers(0, 2**62) % (cnt-1); bias is O(cnt/2^31), nil)
+        draw = jax.random.randint(r_p, (B,), 0, jnp.int32(2 ** 31 - 1))
+        predict_pos = 1 + draw % (cnt - 1)
+        lo = self._ptr[users]
+        offs = jnp.arange(L, dtype=jnp.int32)
+        seq_len = jnp.minimum(predict_pos, L)
+        start = predict_pos - seq_len
+        idx = lo[:, None] + start[:, None] + offs[None, :]
+        valid = offs[None, :] < seq_len[:, None]
+        idx = jnp.where(valid, idx, lo[:, None])    # safe gather index
+        seq = jnp.where(valid, self._items[idx], 0)
+        labels = self._items[lo + predict_pos]
+        return {"seq_item_id": seq, "seq_len": seq_len,
+                "label": labels, "user_id": users}

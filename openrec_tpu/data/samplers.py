@@ -31,6 +31,11 @@ import numpy as np
 from openrec_tpu.data.store import InteractionStore
 
 
+class EndOfData(Exception):
+    """Raised by chronological samplers when the single sequential epoch is
+    exhausted; turns the sampler into a finite iterator."""
+
+
 class BatchSampler:
     """Base: infinite iterator of dict-of-ndarray batches.
 
@@ -38,21 +43,39 @@ class BatchSampler:
     rng): prefetch workers cloned via with_seed draw independent streams —
     both the fix for the reference's duplicate-batch race and the reason
     two workers can run concurrently without sharing mutable state.
+
+    chronological=True switches to the legacy epoch-sequential mode
+    (reference legacy/utils/samplers/pairwise_sampler.py:24-44): records
+    stream in raw-data order (time order if the data is time-sorted), no
+    shuffling, ONE pass, and the final partial batch is dropped — the
+    ItrMLP temporal training protocol. The iterator is then finite.
     """
 
-    def __init__(self, store: InteractionStore, batch_size: int, seed=0):
+    def __init__(self, store: InteractionStore, batch_size: int, seed=0,
+                 chronological: bool = False):
         self.store = store
         self.batch_size = int(batch_size)
         self.seed = seed
         self.rng = np.random.default_rng(seed)
+        self.chronological = bool(chronological)
+        self._chrono_pos = 0
         self._perm = np.empty(0, dtype=np.int64)
         self._perm_pos = 0
 
     def _next_record_indices(self, n: int) -> np.ndarray:
         """Per-sampler epoch stream (every record once per epoch)."""
+        n_rec = self.store.total_records()
+        if self.chronological:
+            # Sequential, unshuffled, single epoch; the reference breaks
+            # when fewer than a full batch remains (pairwise_sampler.py:28).
+            if self._chrono_pos + n > n_rec:
+                raise EndOfData
+            out = np.arange(self._chrono_pos, self._chrono_pos + n,
+                            dtype=np.int64)
+            self._chrono_pos += n
+            return out
         out = np.empty(n, dtype=np.int64)
         filled = 0
-        n_rec = self.store.total_records()
         while filled < n:
             if self._perm_pos >= len(self._perm):
                 self._perm = self.rng.permutation(n_rec)
@@ -70,9 +93,17 @@ class BatchSampler:
     def sample(self) -> dict:
         raise NotImplementedError
 
+    def reset(self):
+        """Rewind a chronological sampler to the start of its epoch."""
+        self._chrono_pos = 0
+
     def __iter__(self):
         while True:
-            yield self.sample()
+            try:
+                batch = self.sample()
+            except EndOfData:
+                return
+            yield batch
 
     def with_seed(self, seed):
         """Fresh sampler with a different seed (used per prefetch worker)."""
@@ -80,6 +111,7 @@ class BatchSampler:
         clone.__dict__.update(self.__dict__)
         clone.seed = seed
         clone.rng = np.random.default_rng(seed)
+        clone._chrono_pos = 0
         clone._perm = np.empty(0, dtype=np.int64)
         clone._perm_pos = 0
         return clone
@@ -93,8 +125,10 @@ class PairwiseSampler(BatchSampler):
     rejection loop runs in one C++ pass; otherwise vectorized numpy.
     """
 
-    def __init__(self, store, batch_size, seed=0, use_native=None):
-        super().__init__(store, batch_size, seed)
+    def __init__(self, store, batch_size, seed=0, use_native=None,
+                 chronological=False):
+        super().__init__(store, batch_size, seed,
+                         chronological=chronological)
         if use_native is None:
             from openrec_tpu import native
             use_native = (native.available()
@@ -223,10 +257,14 @@ class RandomPointwiseSampler(BatchSampler):
 
 class ExplicitSampler(BatchSampler):
     """Stream records with their explicit labels/ratings
-    (reference legacy samplers/explicit_sampler.py)."""
+    (reference legacy samplers/explicit_sampler.py). chronological=True
+    streams one unshuffled sequential epoch (shuffle=False, loop=False in
+    the reference, explicit_sampler.py:8-40)."""
 
-    def __init__(self, store, batch_size, label_field="label", seed=0):
-        super().__init__(store, batch_size, seed)
+    def __init__(self, store, batch_size, label_field="label", seed=0,
+                 chronological=False):
+        super().__init__(store, batch_size, seed,
+                         chronological=chronological)
         self.label_field = label_field
 
     def sample(self):
@@ -463,3 +501,39 @@ class EvaluationSampler:
                 valid = np.pad(valid, (0, pad))
             yield {"user_id": users.astype(np.int32), "pos_mask": pos,
                    "excl_mask": excl, "valid": valid}
+
+
+class RegressionEvalSampler:
+    """Finite per-record evaluation stream for the legacy 'regression'
+    etype (reference legacy/utils/evaluators/evaluator.py:2-10 +
+    itr_mlp_model_trainer.py:50-76): batches of (user_id, item_id, label)
+    records in data order; the harness predicts each pair and aggregates
+    per-record metrics (MSE). Batches are zero-padded to a static shape
+    with a `valid` mask."""
+
+    def __init__(self, store: InteractionStore, batch_size: int,
+                 label_field: str = "label"):
+        self.store = store
+        self.batch_size = int(batch_size)
+        self.label_field = label_field
+
+    def __len__(self):
+        return -(-self.store.total_records() // self.batch_size)
+
+    def __iter__(self):
+        data = self.store.raw_data
+        bs = self.batch_size
+        for i in range(0, len(data), bs):
+            rec = data[i:i + bs]
+            pad = bs - len(rec)
+            users = np.asarray(rec["user_id"], dtype=np.int32)
+            items = np.asarray(rec["item_id"], dtype=np.int32)
+            labels = np.asarray(rec[self.label_field], dtype=np.float32)
+            valid = np.ones(len(rec), dtype=bool)
+            if pad:
+                users = np.pad(users, (0, pad))
+                items = np.pad(items, (0, pad))
+                labels = np.pad(labels, (0, pad))
+                valid = np.pad(valid, (0, pad))
+            yield {"user_id": users, "item_id": items, "label": labels,
+                   "valid": valid}

@@ -72,6 +72,74 @@ def make_parallel_train_step(model, tx, mesh, rules=DEFAULT_RULES):
     return step_fn, init_fn
 
 
+def make_parallel_device_train_step(model, tx, mesh, sampler,
+                                    steps_per_call: int = 1,
+                                    rules=DEFAULT_RULES):
+    """Distributed training with ON-DEVICE per-shard sampling: each data
+    shard folds its mesh axis index into the step rng and draws a disjoint
+    sample stream (the reference's duplicate-batch race fixed on device —
+    SURVEY.md §5.2), so pod-scale input needs zero host CPU and zero
+    host↔device transfers beyond one rng key per call.
+
+    sampler: a Device*Sampler (data/device_sampler.py); its batch_size is
+    PER data shard — the global batch is batch_size * mesh.shape['data'].
+
+    Returns (step_fn, init_fn):
+      init_fn(rng) -> (params, opt_state, param_shardings)
+      step_fn(params, opt_state, rng) -> (params, opt_state, losses[k])
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from openrec_tpu.parallel.mesh import DATA_AXIS
+
+    def init_fn(rng):
+        params = model.init(rng)
+        params, param_shardings = shard_params(params, mesh, rules)
+        opt_state = jax.jit(
+            tx.init,
+            out_shardings=_opt_state_shardings(tx.init, params,
+                                               param_shardings,
+                                               mesh))(params)
+        return params, opt_state, param_shardings
+
+    keys = sorted(jax.eval_shape(
+        lambda r: sampler.sample(r), jax.random.PRNGKey(0)).keys())
+
+    def _sample_shard(rng):
+        idx = jax.lax.axis_index(DATA_AXIS)
+        batch = sampler.sample(jax.random.fold_in(rng, idx))
+        return tuple(batch[k] for k in keys)
+
+    sample_global = jax.shard_map(
+        _sample_shard, mesh=mesh, in_specs=(P(None),),
+        out_specs=tuple(P(DATA_AXIS) for _ in keys),
+        check_vma=False)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step_fn(params, opt_state, rng):
+        def body(carry, step_rng):
+            params, opt_state = carry
+            r_sample, r_loss = jax.random.split(step_rng)
+            batch = dict(zip(keys, sample_global(r_sample)))
+
+            def loss_fn(p):
+                return model.loss(p, batch, r_loss)
+            (total, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            grads = model.grad_transform(grads, batch)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            params = model.post_step(params, batch)
+            return (params, opt_state), total
+
+        rngs = jax.random.split(rng, steps_per_call)
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), rngs)
+        return params, opt_state, losses
+
+    return step_fn, init_fn
+
+
 def make_parallel_sparse_train_step(model, table_specs, mesh,
                                     rules=DEFAULT_RULES, **hyper):
     """Distributed O(batch) sparse step: tables (and their Adam moments)

@@ -256,25 +256,60 @@ class Trainer:
             self._eval_step_cache[key] = eval_step
         return self._eval_step_cache[key]
 
+    def _regression_eval_step(self):
+        """Per-pair MSE step for the legacy 'regression' etype (reference
+        legacy/utils/evaluators/{evaluator,mse}.py + the ItrMLP trainer's
+        _evaluate loop, itr_mlp_model_trainer.py:50-76): serve the score
+        row, gather the rated item, square the error per record."""
+        if "regression" not in self._eval_step_cache:
+            model = self.model
+
+            @jax.jit
+            def step(params, user_id, item_id, label):
+                import jax.numpy as jnp
+                pred = model.score(params, {"user_id": user_id})
+                pred = jnp.take_along_axis(
+                    pred, item_id[:, None].astype(jnp.int32), axis=1)[:, 0]
+                return {"MSE": jnp.square(pred - label)}
+
+            self._eval_step_cache["regression"] = step
+        return self._eval_step_cache["regression"]
+
     def evaluate(self, eval_sampler, at=(50, 100),
                  eval_fn: Callable = None, scorer=None,
-                 eval_chunk: int = 16384) -> dict:
+                 eval_chunk: int = 16384,
+                 dump_path: Optional[str] = None) -> dict:
         """Run one epoch of an EvaluationSampler; returns metric means.
-        Accepts mask batches or id batches (device_masks=True).
+        Accepts mask batches, id batches (device_masks=True), or
+        per-record regression batches (RegressionEvalSampler → MSE).
 
         scorer: optional CachedDotProductScorer — switches id batches to
         the chunked giant-catalog path (O(B·eval_chunk) memory instead of
-        a [B, total_items] score row; see metrics/chunked.py)."""
-        acc = DictMean({"AUC": [], "Recall": [len(at)],
-                        "NDCG": [len(at)], "Precision": [len(at)]})
+        a [B, total_items] score row; see metrics/chunked.py).
+
+        dump_path: optional .npz path; dumps every evaluated user's raw
+        full-catalog score row (plus user ids) for offline analysis — the
+        reference's per-user score pickle (implicit_model_trainer.py:
+        150-175). Not supported together with `scorer` (the chunked path
+        exists precisely to never materialize those rows)."""
+        acc = None
         if scorer is not None:
             # params changed since the last eval epoch (the reference's
             # _model_updated flag, fast_dot_product_server.py:132-141)
             scorer.mark_dirty()
+            assert dump_path is None, \
+                "dump_path requires the dense scoring path (no scorer)"
+        dump_users, dump_scores = [], []
         for batch in eval_sampler:
             if eval_fn is not None:
                 out = eval_fn(self.params, batch["user_id"],
                               batch["pos_mask"], batch["excl_mask"])
+            elif "label" in batch and "item_id" in batch:
+                step = self._regression_eval_step()
+                out = step(self.params,
+                           jax.numpy.asarray(batch["user_id"]),
+                           jax.numpy.asarray(batch["item_id"]),
+                           jax.numpy.asarray(batch["label"]))
             elif scorer is not None and "pos_ids" in batch:
                 out = scorer.eval_metrics(
                     self.params, batch["user_id"], batch["pos_ids"],
@@ -287,8 +322,27 @@ class Trainer:
                 step = self._default_eval_step(at)
                 out = step(self.params, batch["user_id"],
                            batch["pos_mask"], batch["excl_mask"])
-            acc.update_state(jax.device_get(out), valid=batch.get("valid"))
-        return acc.result()
+            out = jax.device_get(out)
+            if acc is None:
+                acc = DictMean({k: list(np.asarray(v).shape[1:])
+                                for k, v in out.items()})
+            acc.update_state(out, valid=batch.get("valid"))
+            if dump_path is not None:
+                rows = np.asarray(self._score(
+                    self.params,
+                    {"user_id": jax.numpy.asarray(batch["user_id"])}))
+                valid = np.asarray(batch.get(
+                    "valid", np.ones(len(batch["user_id"]), bool)))
+                dump_users.append(np.asarray(batch["user_id"])[valid])
+                dump_scores.append(rows[valid])
+        if dump_path is not None:
+            os.makedirs(os.path.dirname(dump_path) or ".", exist_ok=True)
+            np.savez(dump_path,
+                     user_ids=np.concatenate(dump_users)
+                     if dump_users else np.empty(0, np.int32),
+                     scores=np.concatenate(dump_scores)
+                     if dump_scores else np.empty((0, 0), np.float32))
+        return acc.result() if acc is not None else {}
 
     # ------------------------------------------------------------------ #
 
@@ -313,7 +367,10 @@ class Trainer:
               at=(50, 100),
               eval_fn: Callable = None,
               train_iter_hook: Callable = None,
-              steps_per_call: int = 1) -> dict:
+              steps_per_call: int = 1,
+              scorer=None, eval_chunk: int = 16384,
+              update_interval: Optional[int] = None,
+              update_fn: Callable = None) -> dict:
         """Iteration-driven loop (reference model_trainer.py:60-97).
 
         train_batches: iterable of batch dicts (e.g. Dataset.pairwise(...)).
@@ -323,6 +380,15 @@ class Trainer:
           step (the analog of a custom train_iter_func).
         steps_per_call: fuse this many optimizer steps into one device
           dispatch (see train_step_multi); intervals should be multiples.
+        scorer: optional CachedDotProductScorer passed to interval evals —
+          id-batch (device_masks) eval then runs the chunked giant-catalog
+          path in O(B·eval_chunk) memory.
+        update_interval/update_fn: every update_interval iterations apply
+          params ← update_fn(params) — the ItrMLP temporal protocol
+          (reference itr_mlp_model_trainer.py:46-47 calls
+          model.update_embeddings() every update_itr). update_fn defaults
+          to jit(model.update_embeddings); intervals should be multiples
+          of steps_per_call.
         Returns the last eval results.
         """
         eval_samplers = eval_samplers or {}
@@ -338,6 +404,8 @@ class Trainer:
         it = iter(train_batches) if device_sampler is None else None
         assert steps_per_call == 1 or train_iter_hook is None, \
             "train_iter_hook requires steps_per_call=1"
+        if update_interval and update_fn is None:
+            update_fn = jax.jit(self.model.update_embeddings)
 
         self._log(_color(f"[openrec_tpu] start training "
                          f"{type(self.model).__name__} for {total_iter} "
@@ -346,16 +414,26 @@ class Trainer:
         while i < total_iter:
             chunk = min(steps_per_call, total_iter - i)
             i += chunk
-            if device_sampler is not None:
-                loss = self.train_steps_device(device_sampler, chunk)
-            elif chunk > 1:
-                loss = self.train_step_multi(
-                    [next(it) for _ in range(chunk)])
-            elif train_iter_hook is not None:
-                loss = train_iter_hook(self, next(it))
-            else:
-                loss, _ = self.train_step(next(it))
+            try:
+                if device_sampler is not None:
+                    loss = self.train_steps_device(device_sampler, chunk)
+                elif chunk > 1:
+                    loss = self.train_step_multi(
+                        [next(it) for _ in range(chunk)])
+                elif train_iter_hook is not None:
+                    loss = train_iter_hook(self, next(it))
+                else:
+                    loss, _ = self.train_step(next(it))
+            except StopIteration:
+                # finite stream (e.g. chronological epoch) exhausted —
+                # the reference's samplers simply stop producing
+                self._log(f"train stream exhausted at iter "
+                          f"{self.global_step}")
+                break
             avg_loss.update_state(jax.device_get(loss))
+
+            if update_interval and i % update_interval == 0:
+                self.params = update_fn(self.params)
 
             if save_interval and self.save_model_dir \
                     and i % save_interval == 0:
@@ -367,7 +445,9 @@ class Trainer:
                 results = {}
                 for name, sampler in eval_samplers.items():
                     results[name] = self.evaluate(sampler, at=at,
-                                                  eval_fn=eval_fn)
+                                                  eval_fn=eval_fn,
+                                                  scorer=scorer,
+                                                  eval_chunk=eval_chunk)
                 last_results = results
                 msg = (f"Iter {self.global_step}  "
                        f"loss {avg_loss.result():.4f}  "

@@ -2,21 +2,27 @@
 
 Each process contributes its CPU devices to one global mesh and runs a
 data-parallel BPR step; process 0 checks the loss is finite and both
-processes agree. Guarded by OPENREC_TPU_MULTIHOST_TEST=1 (spawns
-subprocesses; ~30s) — run explicitly:
-
-  OPENREC_TPU_MULTIHOST_TEST=1 python -m pytest tests/test_multihost_dcn.py
+processes agree. Runs in the default suite (~30s, 2 subprocesses on a
+dynamically allocated port); skipped only if no localhost port can be
+bound.
 """
 
 import os
+import socket
 import subprocess
 import sys
 
 import pytest
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get("OPENREC_TPU_MULTIHOST_TEST") != "1",
-    reason="set OPENREC_TPU_MULTIHOST_TEST=1 to run the 2-process test")
+
+def _free_port():
+    try:
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+    except OSError:
+        return None
+
 
 WORKER = r"""
 import os, sys
@@ -25,7 +31,8 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 import jax
 jax.config.update("jax_platforms", "cpu")
 pid = int(sys.argv[1])
-jax.distributed.initialize(coordinator_address="127.0.0.1:29517",
+port = sys.argv[2]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
                            num_processes=2, process_id=pid)
 assert jax.process_count() == 2
 assert len(jax.devices()) == 4          # 2 local x 2 processes
@@ -64,12 +71,16 @@ jax.distributed.shutdown()
 
 
 def test_two_process_dcn(tmp_path):
+    port = _free_port()
+    if port is None:
+        pytest.skip("no localhost port available")
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # avoid the axon sitecustomize
     env["PYTHONPATH"] = os.getcwd()
-    procs = [subprocess.Popen([sys.executable, "-c", WORKER, str(pid)],
-                              stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, env=env)
+    procs = [subprocess.Popen(
+                [sys.executable, "-c", WORKER, str(pid), str(port)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, env=env)
              for pid in range(2)]
     outs = []
     for p in procs:

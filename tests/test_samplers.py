@@ -214,6 +214,66 @@ def test_evaluation_sampler_device_masks_multi_excl_stores():
     assert saw_multi
 
 
+def test_chronological_sampler_sequential_finite():
+    """Legacy chronological mode (reference legacy pairwise_sampler.py:
+    24-44): raw-data order, no shuffle, one epoch, partial batch dropped."""
+    data = make_interactions()
+    store = InteractionStore(data, 40, 100, seed=0)
+    n = store.total_records()
+    bs = 37
+    s = PairwiseSampler(store, batch_size=bs, seed=3, chronological=True,
+                        use_native=False)
+    batches = list(s)
+    assert len(batches) == n // bs
+    got_u = np.concatenate([b["user_id"] for b in batches])
+    got_p = np.concatenate([b["p_item_id"] for b in batches])
+    lim = len(batches) * bs
+    np.testing.assert_array_equal(got_u, data["user_id"][:lim])
+    np.testing.assert_array_equal(got_p, data["item_id"][:lim])
+    # negatives are never positives
+    assert not store.is_positive(got_u, np.concatenate(
+        [b["n_item_id"] for b in batches])).any()
+    # deterministic under the same seed after reset
+    s2 = PairwiseSampler(store, batch_size=bs, seed=3, chronological=True,
+                         use_native=False)
+    b2 = next(iter(s2))
+    np.testing.assert_array_equal(b2["n_item_id"],
+                                  batches[0]["n_item_id"])
+
+
+def test_chronological_explicit_through_dataset_facade():
+    data = make_interactions(timestamps=True)
+    label = np.zeros(len(data), dtype=[("user_id", np.int32),
+                                       ("item_id", np.int32),
+                                       ("label", np.float32)])
+    label["user_id"], label["item_id"] = data["user_id"], data["item_id"]
+    label["label"] = np.arange(len(data), dtype=np.float32)
+    ds = Dataset(label, 40, 100, seed=0)
+    out = list(ds.explicit(batch_size=50, chronological=True))
+    got = np.concatenate([b["label"] for b in out])
+    np.testing.assert_array_equal(got, label["label"][:len(got)])
+    assert len(out) == len(label) // 50
+
+
+def test_regression_eval_sampler_covers_all_records():
+    from openrec_tpu.data.samplers import RegressionEvalSampler
+    data = make_interactions()
+    label = np.zeros(len(data), dtype=[("user_id", np.int32),
+                                       ("item_id", np.int32),
+                                       ("label", np.float32)])
+    label["user_id"], label["item_id"] = data["user_id"], data["item_id"]
+    label["label"] = np.arange(len(data), dtype=np.float32)
+    store = InteractionStore(label, 40, 100, seed=0)
+    s = RegressionEvalSampler(store, batch_size=64)
+    labels, n_valid = [], 0
+    for b in s:
+        assert b["user_id"].shape == (64,)
+        labels.append(b["label"][b["valid"]])
+        n_valid += int(b["valid"].sum())
+    assert n_valid == len(label)
+    np.testing.assert_array_equal(np.concatenate(labels), label["label"])
+
+
 def test_prefetcher_two_workers_stress():
     """Concurrent workers must not corrupt shared state (regression for a
     race in the shared epoch-permutation stream)."""
