@@ -120,12 +120,15 @@ def measure_ours(steps_per_call=200):
     is the single-chip winner (docs/PERF_NOTES.md); set OPENREC_BENCH_ALL=1
     to also measure the device-sampled path (adds a long compile)."""
     host = _measure_host_path(steps_per_call)
-    device = 0.0
     if os.environ.get("OPENREC_BENCH_ALL") == "1":
         device = _measure_device_path(steps_per_call)
-    print(f"host-sampled: {host:.0f} ex/s  device-sampled: {device:.0f} "
-          "ex/s", file=sys.stderr)
-    return max(host, device)
+        print(f"host-sampled: {host:.0f} ex/s  "
+              f"device-sampled: {device:.0f} ex/s", file=sys.stderr)
+        return max(host, device)
+    print(f"host-sampled: {host:.0f} ex/s  "
+          "device-sampled: not measured (set OPENREC_BENCH_ALL=1)",
+          file=sys.stderr)
+    return host
 
 
 def measure_tf_reference():

@@ -1,0 +1,107 @@
+"""Pallas fused retrieval kernel vs the XLA paths, on real TPU.
+
+Compares per-batch retrieval time at the reference's two biggest catalog
+configs (tradesy 165,906 / amazon 450,166 items — tf1_examples/
+dataloader.py) across:
+
+  - exact  : ops.topk_xla           (matmul → HBM → lax.top_k)
+  - approx : ops.topk_approx        (matmul → HBM → PartialReduce)
+  - pallas : ops.pallas_score_topk  (fused bucket-max, no [B, I] in HBM)
+  - pallas-bf16: same with a bfloat16 item table (halves table traffic)
+
+Timings follow the project measurement rules (CLAUDE.md): pipelined over
+distinct pre-staged device-resident inputs (identical-args loops produce
+async-dispatch artifacts on this backend) + a one-shot host-ids latency.
+Recall is reported vs the fp32 exact oracle.
+
+Run ALONE on the TPU:  python benchmarks/pallas_topk.py
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openrec_tpu.ops import pallas_score_topk, topk_approx, topk_xla
+
+K = 100
+BATCH = 256
+POOL = 8          # distinct pre-staged user batches
+
+
+def bench_case(users, items, dim, bucket=128, item_tile=2048, trials=50):
+    rng = np.random.default_rng(0)
+    U = (rng.normal(size=(users, dim)) / np.sqrt(dim)).astype(np.float32)
+    V = (rng.normal(size=(items, dim)) / np.sqrt(dim)).astype(np.float32)
+    b = (rng.normal(size=(items,)) * 0.01).astype(np.float32)
+    V_dev = jnp.asarray(V)
+    V_bf16 = V_dev.astype(jnp.bfloat16)
+    b_dev = jnp.asarray(b)
+    pool = [jnp.asarray(U[(np.arange(BATCH) + t * BATCH) % users])
+            for t in range(POOL)]
+
+    fns = {
+        "exact": jax.jit(lambda u: topk_xla(u, V_dev, b_dev, K)),
+        "approx": jax.jit(lambda u: topk_approx(u, V_dev, b_dev, K)),
+        "pallas": jax.jit(lambda u: pallas_score_topk(
+            u, V_dev, b_dev, K, bucket=bucket, item_tile=item_tile)),
+        "pallas-bf16": jax.jit(lambda u: pallas_score_topk(
+            u, V_bf16, b_dev, K, bucket=bucket, item_tile=item_tile)),
+    }
+
+    # fp32 exact oracle ids for recall
+    ref_v, ref_i = fns["exact"](pool[0])
+    jax.block_until_ready((ref_v, ref_i))
+    ref_i = np.asarray(ref_i)
+
+    out = {}
+    for name, fn in fns.items():
+        vals, idx = fn(pool[0])
+        jax.block_until_ready((vals, idx))
+
+        t0 = time.perf_counter()
+        vals, idx = fn(jnp.asarray(np.asarray(pool[1])))
+        jax.block_until_ready((vals, idx))
+        latency_ms = (time.perf_counter() - t0) * 1e3
+
+        t0 = time.perf_counter()
+        for t in range(trials):
+            vals, idx = fn(pool[t % POOL])
+        jax.block_until_ready((vals, idx))
+        pipelined_ms = (time.perf_counter() - t0) / trials * 1e3
+
+        vals, idx = fn(pool[0])
+        idx = np.asarray(idx)
+        recall = np.mean([
+            len(set(ref_i[r].tolist()) & set(idx[r].tolist())) / K
+            for r in range(BATCH)])
+        out[name] = {
+            "latency_ms": round(latency_ms, 3),
+            "pipelined_ms": round(pipelined_ms, 4),
+            "pipelined_qps": round(BATCH / (pipelined_ms / 1e3)),
+            "recall_vs_fp32_exact": round(float(recall), 4),
+        }
+        print(f"  {name}: {out[name]}", flush=True)
+    return out
+
+
+if __name__ == "__main__":
+    res = {}
+    for tag, (users, items, dim) in {
+        "tradesy_165906x64": (19243, 165906, 64),
+        "amazon_450166x64": (99473, 450166, 64),
+    }.items():
+        print(f"[{tag}]", flush=True)
+        res[f"{tag}_B{BATCH}_top{K}"] = bench_case(users, items, dim)
+    print(json.dumps(res, indent=1))
+    with open(os.path.join(os.path.dirname(__file__),
+                           "pallas_topk.json"), "w") as f:
+        json.dump(res, f, indent=1)

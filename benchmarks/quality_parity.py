@@ -1,26 +1,37 @@
-"""Quality parity: our models vs the reference's TF/Keras math, trained on
-the SAME synthetic dataset, fed by the SAME sampler streams, with the SAME
-hyperparameters, evaluated with the SAME (reference-semantics) metrics.
+"""Quality parity AT REFERENCE SCALE: our models vs the reference's
+TF/Keras math, trained on the SAME synthetic dataset at the CiteULike
+config (5,551 users x 16,980 items — tf2_examples/dataloader.py:22-23),
+fed by the SAME sampler streams, with the SAME hyperparameters
+(dim_embed=50, batch=1000, Adam 1e-3 — tf2_examples/bpr_citeulike.py:
+12-15), evaluated with the SAME (reference-semantics) metrics at the
+SAME iteration checkpoints.
 
-Covers every BASELINE.md parity target trainable without external data:
-BPR, WRMF, UCML (incl. post-step censoring), GMF. Per-step math identity is
-separately pinned by tests/test_reference_parity.py; this records that the
-*converged* metrics agree too.
+Covers every BASELINE.md parity target: BPR, WRMF, UCML (incl. post-step
+censoring), GMF at CiteULike scale, and DLRM at the reference's Criteo
+recipe (dim 4, bot [8,4], top [128,64,1], batch 1024, BCE-AUC, 1000
+train batches — tf2_examples/dlrm_criteo.py:9-27). Per-step math identity
+is separately pinned by tests/test_reference_parity.py; this records that
+the *training trajectories* agree too.
 
-Writes benchmarks/quality_parity.json:
-  {model: {"ours": {...}, "reference": {...}}, ...}
+Writes benchmarks/quality_parity.json incrementally:
+  {model: {"ours": {"curve": [...], "final": {...}},
+           "reference": {...}}, ...}
 
 Run on CPU (forced below) so both frameworks share the hardware and the
-benchmark never contends for the TPU chip.
+benchmark never contends for the TPU chip. Takes ~1h on the 2-vCPU host;
+set OPENREC_PARITY_SCALE=toy for a minutes-long smoke run.
 
-Dataset: planted low-rank preferences (tests/conftest.make_low_rank recipe
-scaled up) — a learnable structure where converged Recall/AUC is a
-meaningful equality target, unlike uniform-random interactions.
+Dataset: planted low-rank preferences (a learnable structure where the
+converged Recall/AUC trajectory is a meaningful equality target, unlike
+uniform-random interactions). The real CiteULike file is not downloadable
+in this environment (zero egress); the planted set matches its size and
+density (~36 interactions/user).
 """
 
 import json
 import os
 import sys
+import time
 
 import numpy as np
 
@@ -29,28 +40,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 # Force CPU regardless of the environment's TPU sitecustomize.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-USERS, ITEMS, RANK, PER_USER = 200, 800, 8, 30
-DIM, BATCH, ITERS, LR = 32, 512, 4000, 0.001
+TOY = os.environ.get("OPENREC_PARITY_SCALE") == "toy"
+if TOY:
+    USERS, ITEMS, RANK, PER_USER = 200, 800, 8, 30
+    DIM, BATCH, LR = 32, 512, 0.001
+    ITERS, EVAL_EVERY = 1000, 500
+    DLRM_ITERS, DLRM_BATCH, DLRM_EVAL_EVERY = 100, 256, 50
+else:
+    # CiteULike scale + the reference example's exact hyperparameters.
+    USERS, ITEMS, RANK, PER_USER = 5551, 16980, 12, 36
+    DIM, BATCH, LR = 50, 1000, 0.001
+    ITERS, EVAL_EVERY = 30000, 5000
+    # reference dlrm_criteo.py trains exactly 1000 batches of 1024
+    DLRM_ITERS, DLRM_BATCH, DLRM_EVAL_EVERY = 1000, 1024, 250
 AT = (50, 100)
 SEED = 0
+OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "quality_parity.json")
 
 
 def make_low_rank():
+    """Planted low-rank preferences at CiteULike size; per-user top items
+    split half train / half test."""
     rng = np.random.default_rng(SEED)
-    U = rng.normal(size=(USERS, RANK))
-    V = rng.normal(size=(ITEMS, RANK))
-    top = np.argsort(-(U @ V.T), axis=1)[:, :PER_USER]
+    U = rng.normal(size=(USERS, RANK)).astype(np.float32)
+    V = rng.normal(size=(ITEMS, RANK)).astype(np.float32)
     train_rows, test_rows = [], []
-    for u in range(USERS):
-        items = top[u].copy()
-        rng.shuffle(items)
-        half = PER_USER // 2
-        train_rows += [(u, i) for i in items[:half]]
-        test_rows += [(u, i) for i in items[half:]]
+    chunk = 512
+    for lo in range(0, USERS, chunk):
+        scores = U[lo:lo + chunk] @ V.T
+        top = np.argpartition(-scores, PER_USER, axis=1)[:, :PER_USER]
+        for r in range(top.shape[0]):
+            items = top[r].copy()
+            rng.shuffle(items)
+            half = PER_USER // 2
+            u = lo + r
+            train_rows += [(u, i) for i in items[:half]]
+            test_rows += [(u, i) for i in items[half:]]
     dtype = [("user_id", np.int32), ("item_id", np.int32)]
     return (np.array(train_rows, dtype=dtype),
             np.array(test_rows, dtype=dtype))
@@ -61,7 +92,7 @@ def eval_ours_style(score_rows, train_store, test_store):
     from openrec_tpu.data.samplers import EvaluationSampler
     from openrec_tpu.metrics import AUC, DictMean, Recall
 
-    sampler = EvaluationSampler(test_store, batch_size=64,
+    sampler = EvaluationSampler(test_store, batch_size=min(BATCH, 1000),
                                 excl_stores=[train_store])
     acc = DictMean({"AUC": [], "Recall": [len(AT)]})
     for batch in sampler:
@@ -89,6 +120,10 @@ def _batches(train_ds, kind):
                                               pos_ratio=0.5))
 
 
+def _log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
 # ---------------------------------------------------------------- ours
 
 def run_ours(model, sampler_kind, train_data, test_data):
@@ -98,14 +133,19 @@ def run_ours(model, sampler_kind, train_data, test_data):
     train_ds, test_ds = _datasets(train_data, test_data)
     tr = Trainer(model, lr=LR, seed=SEED)
     batches = _batches(train_ds, sampler_kind)
-    for _ in range(ITERS):
-        tr.train_step(next(batches))
 
     def score_rows(users):
         return np.asarray(
             tr._score(tr.params, {"user_id": jnp.asarray(users)}))
 
-    return eval_ours_style(score_rows, train_ds.store, test_ds.store)
+    curve = []
+    for it in range(1, ITERS + 1):
+        tr.train_step(next(batches))
+        if it % EVAL_EVERY == 0:
+            m = eval_ours_style(score_rows, train_ds.store, test_ds.store)
+            curve.append({"iter": it, **m})
+            _log(f"  ours iter {it}: {m}")
+    return {"curve": curve, "final": curve[-1]}
 
 
 # ------------------------------------------------------------- reference
@@ -123,13 +163,30 @@ def _tf_embeds(seed_u=1, seed_i=2):
     return user_lf, item_lf, item_b
 
 
-def run_reference_bpr(train_data, test_data):
+def _ref_curve(step, batches, batch_keys, score_rows, train_store,
+               test_store, tag):
+    """Drive a TF step over the shared sampler stream with the shared
+    eval checkpoints."""
+    import tensorflow as tf
+    curve = []
+    for it in range(1, ITERS + 1):
+        b = next(batches)
+        step(*[tf.constant(b[k]) for k in batch_keys])
+        if it % EVAL_EVERY == 0:
+            m = eval_ours_style(score_rows, train_store, test_store)
+            curve.append({"iter": it, **m})
+            _log(f"  {tag} iter {it}: {m}")
+    return {"curve": curve, "final": curve[-1]}
+
+
+def run_reference_bpr(train_data, test_data, seeds=(1, 2),
+                      sampler_seed=SEED):
     """openrec/tf2/recommenders/bpr.py:21-37 + joint l2, keras Adam."""
-    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     import tensorflow as tf
 
     train_ds, test_ds = _datasets(train_data, test_data)
-    user_lf, item_lf, item_b = _tf_embeds()
+    train_ds._seed = sampler_seed
+    user_lf, item_lf, item_b = _tf_embeds(*seeds)
     opt = tf.keras.optimizers.Adam(LR)
 
     @tf.function
@@ -149,22 +206,21 @@ def run_reference_bpr(train_data, test_data):
         grads = tape.gradient(total, [user_lf, item_lf, item_b])
         opt.apply_gradients(zip(grads, [user_lf, item_lf, item_b]))
 
-    batches = _batches(train_ds, "pairwise")
-    for _ in range(ITERS):
-        b = next(batches)
-        step(tf.constant(b["user_id"]), tf.constant(b["p_item_id"]),
-             tf.constant(b["n_item_id"]))
+    def score_rows(users):
+        U, V = user_lf.numpy(), item_lf.numpy()
+        bias = item_b.numpy().reshape(-1)
+        return U[users] @ V.T + bias[None, :]
 
-    U, V = user_lf.numpy(), item_lf.numpy()
-    bias = item_b.numpy().reshape(-1)
-    return eval_ours_style(lambda users: U[users] @ V.T + bias[None, :],
-                           train_ds.store, test_ds.store)
+    from openrec_tpu.data.samplers import PairwiseSampler
+    batches = iter(PairwiseSampler(train_ds.store, BATCH,
+                                   seed=sampler_seed))
+    return _ref_curve(step, batches, ("user_id", "p_item_id", "n_item_id"),
+                      score_rows, train_ds.store, test_ds.store, "ref-bpr")
 
 
 def run_reference_wrmf(train_data, test_data, a=2.0, b=0.3):
     """openrec/tf2/recommenders/wrmf.py:5-40 with
     pointwise_mse_loss.py:4-31 (weight outside the square)."""
-    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     import tensorflow as tf
 
     train_ds, test_ds = _datasets(train_data, test_data)
@@ -184,23 +240,20 @@ def run_reference_wrmf(train_data, test_data, a=2.0, b=0.3):
         grads = tape.gradient(total, [user_lf, item_lf, item_b])
         opt.apply_gradients(zip(grads, [user_lf, item_lf, item_b]))
 
-    batches = _batches(train_ds, "pointwise")
-    for _ in range(ITERS):
-        bt = next(batches)
-        step(tf.constant(bt["user_id"]), tf.constant(bt["item_id"]),
-             tf.constant(bt["label"]))
+    def score_rows(users):
+        U, V = user_lf.numpy(), item_lf.numpy()
+        bias = item_b.numpy().reshape(-1)
+        return U[users] @ V.T + bias[None, :]
 
-    U, V = user_lf.numpy(), item_lf.numpy()
-    bias = item_b.numpy().reshape(-1)
-    return eval_ours_style(lambda users: U[users] @ V.T + bias[None, :],
-                           train_ds.store, test_ds.store)
+    batches = _batches(train_ds, "pointwise")
+    return _ref_curve(step, batches, ("user_id", "item_id", "label"),
+                      score_rows, train_ds.store, test_ds.store, "ref-wrmf")
 
 
 def run_reference_ucml(train_data, test_data, margin=0.5):
     """openrec/tf2/recommenders/ucml.py:29-48: hinge on -‖u-v‖²+b with
     post-step unit-ball censoring of the touched rows (censor_vec →
     latent_factor.py:17-23)."""
-    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     import tensorflow as tf
 
     train_ds, test_ds = _datasets(train_data, test_data)
@@ -233,27 +286,21 @@ def run_reference_ucml(train_data, test_data, margin=0.5):
         censor(user_lf, uid)
         censor(item_lf, tf.concat([pid, nid], 0))
 
-    batches = _batches(train_ds, "pairwise")
-    for _ in range(ITERS):
-        b = next(batches)
-        step(tf.constant(b["user_id"]), tf.constant(b["p_item_id"]),
-             tf.constant(b["n_item_id"]))
-
-    U, V = user_lf.numpy(), item_lf.numpy()
-    bias = item_b.numpy().reshape(-1)
-
     def score_rows(users):
+        U, V = user_lf.numpy(), item_lf.numpy()
+        bias = item_b.numpy().reshape(-1)
         u = U[users]
         return (2.0 * (u @ V.T) - np.sum(u ** 2, 1, keepdims=True)
                 - np.sum(V ** 2, 1)[None, :] + bias[None, :])
 
-    return eval_ours_style(score_rows, train_ds.store, test_ds.store)
+    batches = _batches(train_ds, "pairwise")
+    return _ref_curve(step, batches, ("user_id", "p_item_id", "n_item_id"),
+                      score_rows, train_ds.store, test_ds.store, "ref-ucml")
 
 
 def run_reference_gmf(train_data, test_data):
     """openrec/tf2/recommenders/gmf.py:5-41: logit = Dense_1(u⊙v)+b_i
     (single linear unit, no bias), BCE-from-logits."""
-    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     import tensorflow as tf
 
     train_ds, test_ds = _datasets(train_data, test_data)
@@ -277,26 +324,199 @@ def run_reference_gmf(train_data, test_data):
         grads = tape.gradient(total, [user_lf, item_lf, item_b, w])
         opt.apply_gradients(zip(grads, [user_lf, item_lf, item_b, w]))
 
-    batches = _batches(train_ds, "pointwise")
-    for _ in range(ITERS):
-        bt = next(batches)
-        step(tf.constant(bt["user_id"]), tf.constant(bt["item_id"]),
-             tf.constant(bt["label"]))
-
-    U, V = user_lf.numpy(), item_lf.numpy()
-    bias = item_b.numpy().reshape(-1)
-    wv = w.numpy()[:, 0]
-
     def score_rows(users):
+        U, V = user_lf.numpy(), item_lf.numpy()
+        bias = item_b.numpy().reshape(-1)
+        wv = w.numpy()[:, 0]
         return (U[users] * wv[None, :]) @ V.T + bias[None, :]
 
-    return eval_ours_style(score_rows, train_ds.store, test_ds.store)
+    batches = _batches(train_ds, "pointwise")
+    return _ref_curve(step, batches, ("user_id", "item_id", "label"),
+                      score_rows, train_ds.store, test_ds.store, "ref-gmf")
+
+
+# ------------------------------------------------------------------ DLRM
+
+DLRM_EMB = tuple([200] * 20 + [2000] * 6)     # 26 sparse tables
+DLRM_DIM, DLRM_BOT, DLRM_TOP = 4, (8, 4), (128, 64, 1)
+DLRM_DENSE = 13
+
+
+def make_ctr_data(n_train=None, n_val=None):
+    """Planted CTR structure at the reference's Criteo recipe shapes:
+    label = Bernoulli(sigmoid(dense w·x + per-table id affinities))."""
+    n_train = n_train or DLRM_ITERS * DLRM_BATCH
+    n_val = n_val or max(DLRM_BATCH * 20, 4096)
+    rng = np.random.default_rng(SEED)
+    w = rng.normal(size=(DLRM_DENSE,)).astype(np.float32) * 0.5
+    table_aff = [rng.normal(size=(c,)).astype(np.float32) * 0.4
+                 for c in DLRM_EMB]
+
+    def gen(n, seed):
+        r = np.random.default_rng(seed)
+        dense = r.normal(size=(n, DLRM_DENSE)).astype(np.float32)
+        sparse = np.stack([r.integers(0, c, n) for c in DLRM_EMB],
+                          axis=1).astype(np.int32)
+        logit = dense @ w + sum(
+            table_aff[j][sparse[:, j]] for j in range(len(DLRM_EMB)))
+        p = 1.0 / (1.0 + np.exp(-logit))
+        label = (r.uniform(size=n) < p).astype(np.float32)
+        return {"dense_features": dense, "sparse_features": sparse,
+                "label": label}
+
+    return gen(n_train, SEED + 10), gen(n_val, SEED + 20)
+
+
+def _auc_np(y_true, y_score):
+    order = np.argsort(y_score)
+    ranks = np.empty(len(y_score))
+    ranks[order] = np.arange(1, len(y_score) + 1)
+    n_pos = y_true.sum()
+    n_neg = len(y_true) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    return float((ranks[y_true > 0].sum()
+                  - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
+def run_ours_dlrm(train, val):
+    import jax.numpy as jnp
+    from openrec_tpu.models import DLRM
+    from openrec_tpu.training import Trainer
+
+    model = DLRM(m_spa=DLRM_DIM, ln_emb=DLRM_EMB, ln_bot=DLRM_BOT,
+                 ln_top=DLRM_TOP, dim_dense=DLRM_DENSE, loss_func="bce")
+    tr = Trainer(model, lr=LR, seed=SEED)
+    predict = jax.jit(model.predict)
+
+    def val_auc():
+        preds = []
+        for lo in range(0, len(val["label"]), DLRM_BATCH):
+            preds.append(np.asarray(predict(
+                tr.params,
+                jnp.asarray(val["dense_features"][lo:lo + DLRM_BATCH]),
+                jnp.asarray(val["sparse_features"][lo:lo + DLRM_BATCH]))))
+        return _auc_np(val["label"], np.concatenate(preds))
+
+    curve = []
+    order = np.random.default_rng(SEED).permutation(len(train["label"]))
+    for it in range(1, DLRM_ITERS + 1):
+        take = order[(it - 1) * DLRM_BATCH:it * DLRM_BATCH]
+        batch = {k: v[take] for k, v in train.items()}
+        tr.train_step(batch)
+        if it % DLRM_EVAL_EVERY == 0:
+            m = {"iter": it, "AUC": val_auc()}
+            curve.append(m)
+            _log(f"  ours-dlrm iter {it}: {m}")
+    return {"curve": curve, "final": curve[-1]}
+
+
+def run_reference_dlrm(train, val):
+    """openrec/tf2/recommenders/dlrm.py:6-100 restated: per-table uniform
+    embeddings, bottom MLP (relu out), dot interaction over
+    [sparse..., dense_emb], top MLP (sigmoid out), BCE, keras Adam."""
+    import tensorflow as tf
+
+    rng = np.random.default_rng(1)
+    tables = [tf.Variable(rng.uniform(-0.05, 0.05, (c, DLRM_DIM))
+                          .astype(np.float32)) for c in DLRM_EMB]
+
+    def dense_layer(n_in, n_out, seed):
+        limit = np.sqrt(6.0 / (n_in + n_out))
+        r = np.random.default_rng(seed)
+        return (tf.Variable(r.uniform(-limit, limit, (n_in, n_out))
+                            .astype(np.float32)),
+                tf.Variable(np.zeros((n_out,), np.float32)))
+
+    bot, n_in = [], DLRM_DENSE
+    for k, n_out in enumerate(DLRM_BOT):
+        bot.append(dense_layer(n_in, n_out, 100 + k))
+        n_in = n_out
+    n_sparse = len(DLRM_EMB) + 1
+    n_inter = n_sparse * (n_sparse - 1) // 2
+    top, n_in = [], DLRM_BOT[-1] + n_inter
+    for k, n_out in enumerate(DLRM_TOP):
+        top.append(dense_layer(n_in, n_out, 200 + k))
+        n_in = n_out
+
+    variables = tables + [v for w, b in bot + top for v in (w, b)]
+    opt = tf.keras.optimizers.Adam(LR)
+    bce = tf.keras.losses.BinaryCrossentropy()
+
+    def mlp(x, layers, out_act):
+        for k, (w, b) in enumerate(layers):
+            x = tf.matmul(x, w) + b
+            x = out_act(x) if k == len(layers) - 1 else tf.nn.relu(x)
+        return x
+
+    def forward(dense, sparse):
+        embs = [tf.gather(tables[j], sparse[:, j])
+                for j in range(len(DLRM_EMB))]
+        dense_emb = mlp(dense, bot, tf.nn.relu)
+        feats = tf.stack(embs + [dense_emb], axis=1)     # [B, 27, 4]
+        dots = tf.matmul(feats, feats, transpose_b=True)  # [B, 27, 27]
+        ii, jj = np.tril_indices(n_sparse, k=-1)
+        inter = tf.gather_nd(
+            tf.transpose(dots, [1, 2, 0]),
+            np.stack([ii, jj], axis=1))                   # [n_inter, B]
+        inter = tf.transpose(inter)                       # [B, n_inter]
+        out = mlp(tf.concat([dense_emb, inter], axis=1), top,
+                  tf.nn.sigmoid)
+        return tf.reshape(out, [-1])
+
+    @tf.function
+    def step(dense, sparse, label):
+        with tf.GradientTape() as tape:
+            loss = bce(y_true=label, y_pred=forward(dense, sparse))
+        grads = tape.gradient(loss, variables)
+        opt.apply_gradients(zip(grads, variables))
+
+    def val_auc():
+        preds = []
+        for lo in range(0, len(val["label"]), DLRM_BATCH):
+            preds.append(forward(
+                tf.constant(val["dense_features"][lo:lo + DLRM_BATCH]),
+                tf.constant(val["sparse_features"][lo:lo + DLRM_BATCH]))
+                .numpy())
+        return _auc_np(val["label"], np.concatenate(preds))
+
+    curve = []
+    order = np.random.default_rng(SEED).permutation(len(train["label"]))
+    for it in range(1, DLRM_ITERS + 1):
+        take = order[(it - 1) * DLRM_BATCH:it * DLRM_BATCH]
+        step(tf.constant(train["dense_features"][take]),
+             tf.constant(train["sparse_features"][take]),
+             tf.constant(train["label"][take]))
+        if it % DLRM_EVAL_EVERY == 0:
+            m = {"iter": it, "AUC": val_auc()}
+            curve.append(m)
+            _log(f"  ref-dlrm iter {it}: {m}")
+    return {"curve": curve, "final": curve[-1]}
+
+
+# ------------------------------------------------------------------ main
+
+def _write(out):
+    with open(OUT_PATH, "w") as f:
+        json.dump(out, f, indent=1)
 
 
 def main():
     from openrec_tpu.models import BPR, GMF, UCML, WRMF
 
+    _log(f"building planted dataset ({USERS}x{ITEMS}, {PER_USER}/user)")
     train_data, test_data = make_low_rank()
+    out = {"config": {"users": USERS, "items": ITEMS, "dim": DIM,
+                      "batch": BATCH, "iters": ITERS, "lr": LR,
+                      "per_user": PER_USER,
+                      "train_records": len(train_data),
+                      "dlrm": {"emb": list(DLRM_EMB), "dim": DLRM_DIM,
+                               "bot": list(DLRM_BOT),
+                               "top": list(DLRM_TOP),
+                               "batch": DLRM_BATCH,
+                               "iters": DLRM_ITERS}}}
+    _write(out)
+
     runs = {
         "BPR": (BPR(total_users=USERS, total_items=ITEMS,
                     dim_user_embed=DIM, dim_item_embed=DIM),
@@ -312,20 +532,29 @@ def main():
                     dim_user_embed=DIM, dim_item_embed=DIM),
                 "pointwise", run_reference_gmf),
     }
-    out = {"config": {"users": USERS, "items": ITEMS, "dim": DIM,
-                      "batch": BATCH, "iters": ITERS, "lr": LR}}
     for name, (model, kind, ref_fn) in runs.items():
+        _log(f"=== {name}: ours ===")
         ours = run_ours(model, kind, train_data, test_data)
-        print(f"{name} ours:     ", ours, flush=True)
-        ref = ref_fn(train_data, test_data)
-        print(f"{name} reference:", ref, flush=True)
-        out[name] = {"ours": ours, "reference": ref}
+        out[name] = {"ours": ours}
+        _write(out)
+        _log(f"=== {name}: reference ===")
+        out[name]["reference"] = ref_fn(train_data, test_data)
+        _write(out)
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "quality_parity.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=2)
-    print("wrote", path)
+    # run-to-run variance of the reference itself (different init +
+    # sampler seeds) to calibrate what "within variance" means
+    _log("=== BPR: reference seed-variance run ===")
+    out["BPR"]["reference_seed2"] = run_reference_bpr(
+        train_data, test_data, seeds=(11, 12), sampler_seed=SEED + 7)
+    _write(out)
+
+    _log("=== DLRM ===")
+    dlrm_train, dlrm_val = make_ctr_data()
+    out["DLRM"] = {"ours": run_ours_dlrm(dlrm_train, dlrm_val)}
+    _write(out)
+    out["DLRM"]["reference"] = run_reference_dlrm(dlrm_train, dlrm_val)
+    _write(out)
+    _log(f"wrote {OUT_PATH}")
 
 
 if __name__ == "__main__":

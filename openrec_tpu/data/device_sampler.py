@@ -114,6 +114,26 @@ class DevicePairwiseSampler:
             neg = jnp.where(bad, resample, neg)
         return {"user_id": users, "p_item_id": pos, "n_item_id": neg}
 
+    def sample_stacked(self, rng, k: int):
+        """K batches at once: ALL RNG draws happen in three big batched
+        calls instead of k·(REJECT_ROUNDS+2) small per-step calls inside a
+        scan (threefry vectorizes; small per-step RNG serializes the VPU —
+        the measured limiter of the fused device loop, docs/PERF_NOTES.md).
+        Returns a dict of [k, B] arrays for lax.scan; same per-batch
+        semantics as k sample() calls (different stream)."""
+        B = self.batch_size
+        r_rec, r_neg = jax.random.split(rng)
+        idx = jax.random.randint(r_rec, (k, B), 0, self.num_records)
+        users = self._rec_users[idx]
+        pos = self._rec_items[idx]
+        draws = jax.random.randint(r_neg, (REJECT_ROUNDS + 1, k, B), 0,
+                                   self.total_items, dtype=jnp.int32)
+        neg = draws[0]
+        for round_i in range(1, REJECT_ROUNDS + 1):
+            bad = self.is_positive(users, neg)
+            neg = jnp.where(bad, draws[round_i], neg)
+        return {"user_id": users, "p_item_id": pos, "n_item_id": neg}
+
 
 class DevicePointwiseSampler:
     """On-device stratified pointwise batches (pos_ratio mix). Shares the

@@ -160,21 +160,40 @@ class Trainer:
         return multi_step
 
     def _build_device_loop(self, sampler, k: int):
+        # Pre-generate all K batches' RNG in one vectorized pass when the
+        # sampler supports it (sample_stacked): per-step threefry calls
+        # inside the scan serialize the VPU and were the measured limiter
+        # of this path (docs/PERF_NOTES.md).
+        stacked_sampling = hasattr(sampler, "sample_stacked")
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def device_loop(params, opt_state, rng):
-            rngs = jax.random.split(rng, k)
+            r_sample, r_loop = jax.random.split(rng)
+            rngs = jax.random.split(r_loop, k)
 
-            def body(carry, step_rng):
-                params, opt_state = carry
-                r_sample, r_loss = jax.random.split(step_rng)
-                batch = sampler.sample(r_sample)
-                params, opt_state, total = self._step_body(
-                    params, opt_state, batch, r_loss)
-                return (params, opt_state), total
+            if stacked_sampling:
+                stacked = sampler.sample_stacked(r_sample, k)
 
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), rngs)
+                def body(carry, xs):
+                    params, opt_state = carry
+                    batch, step_rng = xs
+                    params, opt_state, total = self._step_body(
+                        params, opt_state, batch, step_rng)
+                    return (params, opt_state), total
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), (stacked, rngs))
+            else:
+                def body(carry, step_rng):
+                    params, opt_state = carry
+                    r_s, r_loss = jax.random.split(step_rng)
+                    batch = sampler.sample(r_s)
+                    params, opt_state, total = self._step_body(
+                        params, opt_state, batch, r_loss)
+                    return (params, opt_state), total
+
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), rngs)
             return params, opt_state, losses
 
         return device_loop
