@@ -179,15 +179,38 @@ class NPairwiseSampler(BatchSampler):
 
 class StratifiedPointwiseSampler(BatchSampler):
     """pos_ratio positives from the record stream + rejection-sampled
-    uniform (user, item) negatives."""
+    uniform (user, item) negatives. With the native library available
+    (and no pre-sampled negatives) the whole batch is one C++ pass."""
 
-    def __init__(self, store, batch_size, pos_ratio=0.5, seed=0):
+    def __init__(self, store, batch_size, pos_ratio=0.5, seed=0,
+                 use_native=None):
         super().__init__(store, batch_size, seed)
         self.pos_ratio = float(pos_ratio)
+        if use_native is None:
+            from openrec_tpu import native
+            use_native = (native.available()
+                          and not store.contain_negatives())
+        self.use_native = bool(use_native)
+        if self.use_native:
+            from openrec_tpu import native
+            self._rec_users = np.ascontiguousarray(
+                store._pos_users, dtype=np.int32)
+            self._rec_items = np.ascontiguousarray(
+                store._pos_items, dtype=np.int32)
+            self._hash_table = native.build_hash_table(store._pos_keys)
 
     def sample(self):
         n_pos = int(self.batch_size * self.pos_ratio)
         n_neg = self.batch_size - n_pos
+        if self.use_native:
+            from openrec_tpu import native
+            idx = self._next_record_indices(n_pos)
+            seed = int(self.rng.integers(0, 2 ** 63))
+            u, i, l = native.stratified_pointwise_batch_hash(
+                self._hash_table, self._rec_users, self._rec_items, idx,
+                n_neg, self.store.total_users(), self.store.total_items(),
+                seed)
+            return {"user_id": u, "item_id": i, "label": l}
         rec = self._next_records(n_pos)
         users = np.empty(self.batch_size, dtype=np.int32)
         items = np.empty(self.batch_size, dtype=np.int32)

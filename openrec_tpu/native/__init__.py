@@ -75,6 +75,11 @@ def load():
             i64p, ctypes.c_int64, i32p, i32p, i64p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32,
             ctypes.c_int32, i32p, i32p, i32p]
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.stratified_pointwise_hash.argtypes = [
+            i64p, ctypes.c_int64, i32p, i32p, i64p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_int32, i32p, i32p, f32p]
         _lib = lib
         return _lib
 
@@ -137,6 +142,28 @@ def pairwise_batch(pos_keys: np.ndarray, rec_users: np.ndarray,
         pos_keys, len(pos_keys), rec_users, rec_items, record_idx, b,
         total_items, seed & (2 ** 64 - 1), max_rounds, out_u, out_p, out_n)
     return out_u, out_p, out_n
+
+
+def stratified_pointwise_batch_hash(
+        hash_table: np.ndarray, rec_users: np.ndarray,
+        rec_items: np.ndarray, record_idx: np.ndarray, n_neg: int,
+        total_users: int, total_items: int, seed: int,
+        max_rounds: int = 64):
+    """Single-pass stratified pointwise batch: len(record_idx) positives
+    followed by n_neg rejected uniform negatives."""
+    lib = load()
+    assert lib is not None
+    n_pos = len(record_idx)
+    b = n_pos + int(n_neg)
+    record_idx = np.ascontiguousarray(record_idx, dtype=np.int64)
+    out_u = np.empty(b, dtype=np.int32)
+    out_i = np.empty(b, dtype=np.int32)
+    out_l = np.empty(b, dtype=np.float32)
+    lib.stratified_pointwise_hash(
+        hash_table, len(hash_table), rec_users, rec_items, record_idx,
+        n_pos, int(n_neg), total_users, total_items, seed & (2 ** 64 - 1),
+        max_rounds, out_u, out_i, out_l)
+    return out_u, out_i, out_l
 
 
 def pairwise_batch_hash(hash_table: np.ndarray, rec_users: np.ndarray,

@@ -188,6 +188,39 @@ void pairwise_join_and_negatives_hash_mt(
   for (auto& th : pool) th.join();
 }
 
+// Stratified pointwise batch (reference tf2 dataset.py:18-34 semantics,
+// single pass): the first n_pos slots join positives from the record
+// stream (label 1); the remaining n_neg slots draw uniform (user, item)
+// pairs rejected against the positive set (label 0).
+void stratified_pointwise_hash(
+    const int64_t* table, int64_t capacity,
+    const int32_t* rec_users, const int32_t* rec_items,
+    const int64_t* record_idx, int64_t n_pos, int64_t n_neg,
+    int64_t total_users, int64_t total_items,
+    uint64_t seed, int32_t max_rounds,
+    int32_t* out_users, int32_t* out_items, float* out_labels) {
+  Rng rng(seed);
+  uint64_t mask = (uint64_t)capacity - 1;
+  for (int64_t i = 0; i < n_pos; ++i) {
+    int64_t r = record_idx[i];
+    out_users[i] = rec_users[r];
+    out_items[i] = rec_items[r];
+    out_labels[i] = 1.0f;
+  }
+  for (int64_t i = n_pos; i < n_pos + n_neg; ++i) {
+    int64_t u = (int64_t)rng.bounded((uint64_t)total_users);
+    int64_t it = (int64_t)rng.bounded((uint64_t)total_items);
+    for (int32_t rd = 0; rd < max_rounds; ++rd) {
+      if (!hash_contains(table, mask, u * total_items + it)) break;
+      u = (int64_t)rng.bounded((uint64_t)total_users);
+      it = (int64_t)rng.bounded((uint64_t)total_items);
+    }
+    out_users[i] = (int32_t)u;
+    out_items[i] = (int32_t)it;
+    out_labels[i] = 0.0f;
+  }
+}
+
 // out[i] = 1 iff (users[i], items[i]) is an observed positive.
 void is_positive_batch(const int64_t* pos_keys, int64_t n_keys,
                        const int64_t* users, const int64_t* items,

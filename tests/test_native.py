@@ -56,3 +56,34 @@ def test_native_pairwise_sampler_valid_and_deterministic():
     b2 = s2.sample()
     for k in b:
         np.testing.assert_array_equal(b[k], b2[k])
+
+
+def test_native_stratified_pointwise_valid_and_deterministic():
+    from openrec_tpu.data.samplers import StratifiedPointwiseSampler
+
+    store = _store()
+    s = StratifiedPointwiseSampler(store, batch_size=200, pos_ratio=0.3,
+                                   seed=5, use_native=True)
+    assert s.use_native
+    b = s.sample()
+    lab = b["label"]
+    assert lab.sum() == 60 and lab.dtype == np.float32
+    # positives come from the record stream in epoch order semantics
+    assert store.is_positive(b["user_id"][lab == 1],
+                             b["item_id"][lab == 1]).all()
+    assert not store.is_positive(b["user_id"][lab == 0],
+                                 b["item_id"][lab == 0]).any()
+    assert (b["user_id"][lab == 0] < 40).all()
+    assert (b["item_id"][lab == 0] < 100).all()
+    # deterministic under the same seed
+    s2 = StratifiedPointwiseSampler(store, batch_size=200, pos_ratio=0.3,
+                                    seed=5, use_native=True)
+    b2 = s2.sample()
+    for k in b:
+        np.testing.assert_array_equal(b[k], b2[k])
+    # numpy path shares the same record stream for positives
+    s3 = StratifiedPointwiseSampler(store, batch_size=200, pos_ratio=0.3,
+                                    seed=5, use_native=False)
+    b3 = s3.sample()
+    np.testing.assert_array_equal(b3["user_id"][:60], b["user_id"][:60])
+    np.testing.assert_array_equal(b3["item_id"][:60], b["item_id"][:60])
