@@ -137,6 +137,12 @@ def pallas_score_topk(user_vecs, item_table, item_bias, k: int,
     over the [B, I/bucket] maxima. Same guarantee as `lax.approx_max_k`
     at reduction ratio I/L: every returned score/id exact; recall < 1
     only from top-k collisions within a bucket."""
+    I = item_table.shape[0]
+    assert k <= I, (k, I)
+    # need at least k buckets; shrink bucket (power of two) until L >= k
+    while bucket > 1 and I // bucket < k:
+        bucket //= 2
+    item_tile = max(bucket, item_tile - item_tile % bucket)
     vals, ids = bucket_max_scores(user_vecs, item_table, item_bias,
                                   bucket=bucket, item_tile=item_tile,
                                   user_block=user_block,

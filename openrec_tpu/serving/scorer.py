@@ -68,10 +68,19 @@ class CachedDotProductScorer:
         from functools import partial
 
         @partial(jax.jit, static_argnums=(4, 5, 6))
-        def _topk(U, ids, V, b, k, approx, recall_target):
+        def _topk(U, ids, V, b, k, method, recall_target):
+            if method == "pallas":
+                # Fused Pallas bucket-max kernel (ops/bucketed_topk.py):
+                # the [B, I] scores never reach HBM. Interpret mode off
+                # TPU keeps the path testable everywhere.
+                from openrec_tpu.ops.bucketed_topk import pallas_score_topk
+                rows = U[ids].astype(V.dtype)
+                return pallas_score_topk(
+                    rows, V, b, k,
+                    interpret=jax.default_backend() != "tpu")
             rows = U[ids].astype(V.dtype)
             s = jnp.dot(rows, V.T, preferred_element_type=jnp.float32) + b
-            if approx:
+            if method == "approx":
                 # TPU PartialReduce: ~7x faster than exact lax.top_k at
                 # big catalogs (ops.topk_approx; docs/PERF_NOTES.md).
                 return jax.lax.approx_max_k(s, k,
@@ -117,17 +126,23 @@ class CachedDotProductScorer:
                                self._b)
 
     def topk(self, params, user_ids, k: int = 100, approx: bool = False,
-             recall_target: float = 0.99):
+             recall_target: float = 0.99, method: Optional[str] = None):
         """(scores, item_ids) of the top-k items per user.
 
-        approx=True uses `lax.approx_max_k` (TPU PartialReduce) — ~7×
-        faster device-side than exact top-k at 165k+ catalogs, ≥
-        recall_target expected recall (only near-tie tail items can
-        differ; every returned score/id pair is exact)."""
+        method: 'exact' (default; `lax.top_k`), 'approx'
+        (`lax.approx_max_k`/TPU PartialReduce — ~7× faster than exact at
+        165k+ catalogs, ≥ recall_target expected recall, every returned
+        score/id exact), or 'pallas' (the fused bucket-max kernel,
+        ops/bucketed_topk.py — the scores never reach HBM; same guarantee
+        class as 'approx'; measured deltas in docs/PERF_NOTES.md).
+        `approx=True` is the backward-compatible spelling of
+        method='approx'."""
+        if method is None:
+            method = "approx" if approx else "exact"
         if self._dirty:
             self.cache(params)
         return self._topk_fn(self._U, jnp.asarray(user_ids), self._V,
-                             self._b, k, approx, recall_target)
+                             self._b, k, method, recall_target)
 
     def eval_metrics(self, params, user_ids, pos_ids, excl_ids,
                      at=(50, 100), chunk: int = 16384):

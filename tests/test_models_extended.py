@@ -328,6 +328,13 @@ def test_cached_scorer_matches_model_score():
                                np.sort(want, axis=1)[:, ::-1][:, :5],
                                rtol=1e-5, atol=1e-7)
 
+    # the Pallas fused-kernel route (interpret mode off-TPU) returns the
+    # same exact scores for every hit
+    pv, pi = scorer.topk(params, users, k=5, method="pallas")
+    np.testing.assert_allclose(
+        np.take_along_axis(want, np.asarray(pi), axis=1),
+        np.asarray(pv), rtol=1e-5, atol=1e-6)
+
 
 def test_dlrm_bfloat16_compute():
     kw = dict(m_spa=4, ln_emb=(20, 30), ln_bot=(8, 4), ln_top=(16, 1),
