@@ -62,9 +62,13 @@ class Dataset:
         return self._wrap(s, num_parallel_calls, take)
 
     def stratified_pointwise(self, batch_size, pos_ratio=0.5,
-                             num_parallel_calls=1, take=None):
+                             num_parallel_calls=1, take=None,
+                             chronological=False):
         s = StratifiedPointwiseSampler(self.store, batch_size, pos_ratio,
-                                       seed=self._seed)
+                                       seed=self._seed,
+                                       chronological=chronological)
+        if chronological:
+            num_parallel_calls = 1
         return self._wrap(s, num_parallel_calls, take)
 
     def per_pos_stratified_pointwise(self, batch_size, pos_ratio=0.5,

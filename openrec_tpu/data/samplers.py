@@ -183,8 +183,9 @@ class StratifiedPointwiseSampler(BatchSampler):
     (and no pre-sampled negatives) the whole batch is one C++ pass."""
 
     def __init__(self, store, batch_size, pos_ratio=0.5, seed=0,
-                 use_native=None):
-        super().__init__(store, batch_size, seed)
+                 use_native=None, chronological=False):
+        super().__init__(store, batch_size, seed,
+                         chronological=chronological)
         self.pos_ratio = float(pos_ratio)
         if use_native is None:
             from openrec_tpu import native

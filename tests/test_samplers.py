@@ -241,6 +241,20 @@ def test_chronological_sampler_sequential_finite():
                                   batches[0]["n_item_id"])
 
 
+def test_chronological_stratified_pointwise():
+    """Legacy PointwiseSampler(chronological=True) counterpart: positives
+    stream sequentially (unshuffled) and the epoch is finite."""
+    data = make_interactions()
+    store = InteractionStore(data, 40, 100, seed=0)
+    s = StratifiedPointwiseSampler(store, batch_size=40, pos_ratio=0.5,
+                                   seed=2, chronological=True)
+    batches = list(s)
+    assert len(batches) == store.total_records() // 20   # 20 pos per batch
+    got_u = np.concatenate([b["user_id"][b["label"] == 1]
+                            for b in batches])
+    np.testing.assert_array_equal(got_u, data["user_id"][:len(got_u)])
+
+
 def test_chronological_explicit_through_dataset_facade():
     data = make_interactions(timestamps=True)
     label = np.zeros(len(data), dtype=[("user_id", np.int32),
