@@ -86,11 +86,15 @@ def _measure_host_path(steps_per_call):
     model = BPR(total_users=USERS, total_items=ITEMS, dim_user_embed=DIM,
                 dim_item_embed=DIM)
     tr = Trainer(model, lr=1e-3, seed=0)
-    # One flat sampler call per dispatch (k·B examples), prefetched by a
-    # background worker so sampling overlaps device execution.
+    # One flat sampler call per dispatch (k·B examples), prefetched by
+    # background workers so sampling overlaps device execution. The path
+    # is host-feeder-bound on this 2-vCPU host (the same code measures
+    # 9.8M ex/s under a concurrent CPU job vs 23.7M quiet), so worker
+    # count / C++ sampler threads are pinned but env-tunable for sweeps.
+    workers = int(os.environ.get("OPENREC_BENCH_WORKERS", "2"))
     flat_sampler = PairwiseSampler(store, batch_size=steps_per_call * BATCH,
                                    seed=0)
-    feeder = Prefetcher(flat_sampler, num_workers=2, capacity=4)
+    feeder = Prefetcher(flat_sampler, num_workers=workers, capacity=4)
     it = iter(feeder)
 
     tr.train_step_multi_flat(next(it), steps_per_call)
@@ -113,7 +117,10 @@ def _measure_host_path(steps_per_call):
     return best
 
 
-def measure_ours(steps_per_call=200):
+def measure_ours(steps_per_call=None):
+    if steps_per_call is None:
+        steps_per_call = int(os.environ.get("OPENREC_BENCH_STEPS_PER_CALL",
+                                            "200"))
     """Best supported configuration (same per-step math as the reference
     loop: uniform positive record + rejection-sampled negative, BPR loss +
     l2, Adam with sparse embedding semantics). The host-sampled fused path
