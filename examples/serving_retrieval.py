@@ -1,0 +1,47 @@
+"""Serving retrieval at big-catalog scale: cached scorer + fast top-k.
+
+The reference's serving accelerator (FastDotProductServer,
+openrec/tf1/fast_dot_product_server.py) caches embeddings and serves
+dense score rows. This example shows the TPU-native serving stack on an
+Amazon-scale catalog (450k items — tf1_examples/dataloader.py:7):
+
+  1. cache (U, V, b) once from a trained model (bf16 tables halve HBM
+     traffic at serving time);
+  2. retrieve top-100 per request batch three ways:
+     - exact `lax.top_k` (eval parity; sort-bound),
+     - `approx_max_k` (TPU PartialReduce; the XLA fast path),
+     - the fused Pallas bucket-max kernel (ops/bucketed_topk.py; the
+       [B, I] scores never reach HBM).
+
+Measured deltas between the three paths: docs/PERF_NOTES.md.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from openrec_tpu.models import BPR
+from openrec_tpu.modules.embedding import embedding_lookup
+from openrec_tpu.serving import CachedDotProductScorer
+
+total_users, total_items, dim = 99_473, 450_166, 64
+model = BPR(total_users=total_users, total_items=total_items,
+            dim_user_embed=dim, dim_item_embed=dim)
+params = model.init(jax.random.PRNGKey(0))   # stand-in for trained params
+
+scorer = CachedDotProductScorer(
+    model, total_users, total_items,
+    extract_user_vecs=lambda p, i: embedding_lookup(p["user_embed"], i),
+    extract_item_vecs=lambda p, i: embedding_lookup(p["item_embed"], i),
+    extract_item_bias=lambda p, i: embedding_lookup(p["item_bias"], i),
+    serve_dtype=jnp.bfloat16)      # 2x serving throughput at this scale
+
+request = jnp.asarray(
+    np.random.default_rng(0).integers(0, total_users, 256, dtype=np.int32))
+
+for method in ("exact", "approx", "pallas"):
+    vals, ids = scorer.topk(params, request, k=100, method=method)
+    jax.block_until_ready((vals, ids))
+    print(f"{method:7s} top-3 of user {int(request[0])}: "
+          f"{np.asarray(ids[0, :3]).tolist()} "
+          f"scores {np.round(np.asarray(vals[0, :3]), 4).tolist()}")
