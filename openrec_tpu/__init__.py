@@ -18,4 +18,4 @@ Design (vs. reference /root/reference/openrec):
 __version__ = "0.1.0"
 
 from openrec_tpu.data import Dataset, InteractionStore
-from openrec_tpu.training import Trainer
+from openrec_tpu.training import ParallelTrainer, Trainer
