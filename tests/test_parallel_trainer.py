@@ -72,3 +72,28 @@ def test_parallel_trainer_device_sampled_loop():
     assert pt.global_step == 200
     assert np.isfinite(np.asarray(losses)).all()
     assert float(np.asarray(losses)[-1]) < first
+
+
+def test_parallel_trainer_sparse_tables():
+    from openrec_tpu.models import DLRM
+    from openrec_tpu.training.sparse import dlrm_fused_table_spec
+
+    mesh = make_mesh(data=4, model=2)
+    model = DLRM(m_spa=8, ln_emb=(64, 128, 32), ln_bot=(8, 8),
+                 ln_top=(16, 1), dim_dense=3, loss_func="bce",
+                 fused_tables=True)
+    pt = ParallelTrainer(model, mesh, lr=0.01, seed=0,
+                         sparse_tables=dlrm_fused_table_spec(model))
+    assert pt.params["embed_fused"].sharding.spec[0] == "model"
+    rng = np.random.default_rng(0)
+    B = 32
+    batch = {
+        "dense_features": rng.normal(size=(B, 3)).astype(np.float32),
+        "sparse_features": np.stack(
+            [rng.integers(0, c, B) for c in (64, 128, 32)],
+            axis=1).astype(np.int32),
+        "label": rng.integers(0, 2, B).astype(np.float32),
+    }
+    losses = [float(pt.train_step(batch)[0]) for _ in range(5)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
