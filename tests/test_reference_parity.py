@@ -159,3 +159,89 @@ def test_censor_matches_reference():
     var.scatter_nd_update(tf.expand_dims(unique_ids, 1),
                           gathered / tf.maximum(norm, 0.1))
     np.testing.assert_allclose(ours, var.numpy(), rtol=1e-5)
+
+
+def test_dlrm_loss_and_adam_step_match_reference():
+    """DLRM (openrec/tf2/recommenders/dlrm.py:63-100) restated in TF with
+    OUR initial parameters: per-table embeddings, bottom MLP (relu out),
+    pairwise dot interaction over [sparse..., dense_emb], top MLP
+    (sigmoid out), keras BinaryCrossentropy, keras Adam.
+
+    The interaction uses the INTENDED pair values (symmetric Gram at
+    i<j): the reference's own mask composition selects entries its
+    LinearOperatorLowerTriangular already zeroed (a reference bug — see
+    modules/interactions.py docstring), so transcribing it literally
+    would compare against an all-zero interaction.
+    """
+    from openrec_tpu.models import DLRM
+
+    ln_emb, m_spa, dim_dense, Bd = (20, 30, 25), 4, 5, 12
+    model = DLRM(m_spa=m_spa, ln_emb=ln_emb, ln_bot=(6, 4),
+                 ln_top=(8, 1), dim_dense=dim_dense, loss_func="bce")
+    params = model.init(jax.random.PRNGKey(3))
+    r = np.random.default_rng(3)
+    batch = {
+        "dense_features": r.normal(size=(Bd, dim_dense)).astype(
+            np.float32),
+        # without replacement per table (keras-3 sparse-Adam dup quirk)
+        "sparse_features": np.stack(
+            [r.choice(c, size=Bd, replace=False) for c in ln_emb],
+            axis=1).astype(np.int32),
+        "label": (r.random(Bd) > 0.5).astype(np.float32),
+    }
+    total_ours, _ = model.loss(params, {k: jnp.asarray(v)
+                                        for k, v in batch.items()})
+
+    tables = [tf.Variable(np.asarray(t), dtype=tf.float32)
+              for t in params["embed_tables"]]
+    bot = [(tf.Variable(np.asarray(l["w"])), tf.Variable(np.asarray(l["b"])))
+           for l in params["mlp_bot"]]
+    top = [(tf.Variable(np.asarray(l["w"])), tf.Variable(np.asarray(l["b"])))
+           for l in params["mlp_top"]]
+    variables = tables + [v for w, b in bot + top for v in (w, b)]
+    bce = tf.keras.losses.BinaryCrossentropy()
+    F = len(ln_emb) + 1
+    iu = np.stack(np.triu_indices(F, k=1), axis=1)
+
+    def forward(dense, sparse):
+        embs = [tf.gather(tables[j], sparse[:, j])
+                for j in range(len(ln_emb))]
+        x = dense
+        for k, (w, b) in enumerate(bot):
+            x = tf.matmul(x, w) + b
+            x = tf.nn.relu(x)
+        feats = tf.stack(embs + [x], axis=1)
+        dots = tf.matmul(feats, feats, transpose_b=True)
+        inter = tf.transpose(tf.gather_nd(
+            tf.transpose(dots, [1, 2, 0]), iu))
+        y = tf.concat([x, inter], axis=1)
+        for k, (w, b) in enumerate(top):
+            y = tf.matmul(y, w) + b
+            y = tf.nn.sigmoid(y) if k == len(top) - 1 else tf.nn.relu(y)
+        return tf.reshape(y, [-1])
+
+    with tf.GradientTape() as tape:
+        loss_tf = bce(y_true=tf.constant(batch["label"]),
+                      y_pred=forward(tf.constant(batch["dense_features"]),
+                                     tf.constant(batch["sparse_features"])))
+    np.testing.assert_allclose(float(total_ours), float(loss_tf),
+                               rtol=1e-5)
+
+    grads = tape.gradient(loss_tf, variables)
+    opt = tf.keras.optimizers.Adam(learning_rate=1e-3)
+    opt.apply_gradients(zip(grads, variables))
+
+    tx = lazy_adam(1e-3)
+    st = tx.init(params)
+    g = jax.grad(lambda p: model.loss(p, {k: jnp.asarray(v)
+                                          for k, v in batch.items()})[0])(
+        params)
+    upd, st = tx.update(g, st, params)
+    ours2 = optax.apply_updates(params, upd)
+
+    np.testing.assert_allclose(np.asarray(ours2["embed_tables"][0]),
+                               tables[0].numpy(), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ours2["mlp_top"][0]["w"]),
+                               top[0][0].numpy(), rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ours2["mlp_bot"][-1]["b"]),
+                               bot[-1][1].numpy(), rtol=2e-4, atol=2e-6)
