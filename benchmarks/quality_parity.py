@@ -250,14 +250,16 @@ def run_reference_wrmf(train_data, test_data, a=2.0, b=0.3):
                       score_rows, train_ds.store, test_ds.store, "ref-wrmf")
 
 
-def run_reference_ucml(train_data, test_data, margin=0.5):
+def run_reference_ucml(train_data, test_data, margin=0.5, seeds=(1, 2),
+                       sampler_seed=SEED):
     """openrec/tf2/recommenders/ucml.py:29-48: hinge on -‖u-v‖²+b with
     post-step unit-ball censoring of the touched rows (censor_vec →
     latent_factor.py:17-23)."""
     import tensorflow as tf
 
     train_ds, test_ds = _datasets(train_data, test_data)
-    user_lf, item_lf, item_b = _tf_embeds()
+    train_ds._seed = sampler_seed
+    user_lf, item_lf, item_b = _tf_embeds(*seeds)
     opt = tf.keras.optimizers.Adam(LR)
 
     def censor(var, ids):
