@@ -55,6 +55,9 @@ def bench_case(users, items, dim, bucket=128, item_tile=2048, trials=50):
             u, V_dev, b_dev, K, bucket=bucket, item_tile=item_tile)),
         "pallas-bf16": jax.jit(lambda u: pallas_score_topk(
             u, V_bf16, b_dev, K, bucket=bucket, item_tile=item_tile)),
+        "pallas-bf16-r99": jax.jit(lambda u: pallas_score_topk(
+            u, V_bf16, b_dev, K, item_tile=item_tile,
+            recall_target=0.99)),
     }
 
     # fp32 exact oracle ids for recall

@@ -6,20 +6,30 @@ as a standalone matmul whose [B, I] output round-trips through HBM before
 (256 x 450,166 f32) that is ~460 MB written + read per batch, and the
 whole path is bound by that traffic, not by the MXU.
 
-This kernel streams the item table through VMEM tile by tile, computes
-the score tile on the MXU, and reduces each BUCKET of consecutive items
-to its (max score, argmax id) pair in registers — the [B, I] scores never
-exist in HBM. The kernel emits [B, L] bucket maxima (L = I/bucket); the
-caller finishes with an exact `lax.top_k` over that small array. This is
-the same algorithm `lax.approx_max_k` lowers to (PartialReduce: bucket
-maxima + small exact top-k — see its XLA docs), with the same guarantee:
-every returned (score, id) is exact; a true top-k item is missed only
-when two of them land in one bucket, so expected recall at k=100,
-L=I/128 matches approx_max_k's at the same reduction ratio.
+This kernel streams the item table through VMEM block by block, computes
+score chunks on the MXU, and keeps one running (max score, argmax id)
+register pair per BUCKET of items — the [B, I] scores never exist in HBM.
+The caller finishes with an exact `lax.top_k` over the small [B, L]
+bucket-maxima array (L = I/bucket). Same algorithm `lax.approx_max_k`
+lowers to (PartialReduce: bucket maxima + small exact top-k), with the
+same guarantee: every returned (score, id) pair is exact; a true top-k
+item is missed only when two of them land in one bucket, so expected
+recall at k=100, L=I/128 matches approx_max_k's at the same reduction
+ratio.
 
-HBM traffic: the table itself (I·D·4 bytes) + O(B·L) outputs, vs
-2·B·I·4 + I·D·4 for the unfused XLA paths — a ~10-20x traffic cut for
-B=256, D=64.
+Bucket layout is STRIDED, not consecutive: within each `128*bucket`-item
+grid block, bucket `l` holds the items at lane position `l` of each
+128-wide row group. That makes every kernel output block a [UB, 128]
+tile — Mosaic requires the last block dimension to be 128 (lane width) —
+and turns the reduction into `bucket` running element-wise max/select
+steps, a pure VPU pattern with no in-kernel sort/top-k primitive (which
+Mosaic lacks; see ops/topk.py's interpret-only study kernel). Any
+balanced partition of items into L buckets gives the identical recall
+law, so the strided layout costs nothing.
+
+HBM traffic per batch: the table itself (I*D*4 bytes) + O(B*L) outputs,
+vs 2*B*I*4 + I*D*4 for the unfused XLA paths — a ~10-20x traffic cut for
+B=256, D=64. bf16 tables halve the remaining table traffic.
 
 No reference counterpart (the reference serves full dense score rows,
 openrec/tf1/fast_dot_product_server.py:132-141); this is the TPU-native
@@ -27,8 +37,8 @@ serving accelerator for its biggest catalogs (tradesy 165,906 / amazon
 450,166 items, tf1_examples/dataloader.py).
 
 Correctness: tests/test_ops.py (interpret mode vs numpy/XLA oracles).
-Measured on real TPU: benchmarks/pallas_topk.py, numbers in
-docs/PERF_NOTES.md.
+Measured compiled on real TPU: benchmarks/pallas_topk.py ->
+benchmarks/pallas_topk.json, numbers in docs/PERF_NOTES.md.
 """
 
 from __future__ import annotations
@@ -45,48 +55,79 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
+_LANES = 128                     # TPU lane width = output-tile last dim
+_MAX_VBLOCK_BYTES = 6 << 20      # keep the streamed table block + its
+                                 # pipeline double-buffer well inside
+                                 # ~16MB/core VMEM
+
 
 def _round_up(x, m):
     return -(-x // m) * m
 
 
 def _bucket_max_kernel(u_ref, v_ref, b_ref, vals_ref, ids_ref, *,
-                       item_tile, bucket, acc_dtype):
-    """One (user block, item tile) grid cell: scores on the MXU, then one
-    (max, argmax) per `bucket` consecutive items, written to this tile's
-    [UB, item_tile/bucket] output slice."""
+                       chunk, n_chunks, acc_dtype):
+    """One (user block, item block) grid cell.
+
+    The item block holds `n_chunks * chunk` consecutive items. Each chunk
+    is scored on the MXU as [UB, chunk], then folded 128 lanes at a time
+    into the running per-lane (max, argmax) accumulator. Strict `>` keeps
+    the earliest item index on ties (reference argmax convention).
+    """
     j = pl.program_id(1)
-    scores = jax.lax.dot_general(
-        u_ref[:], v_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=acc_dtype,
-    ) + b_ref[:].astype(acc_dtype)                     # [UB, item_tile]
-    ub = scores.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ub, bucket), 1)
-    for c in range(item_tile // bucket):
-        blk = scores[:, c * bucket:(c + 1) * bucket]   # [UB, bucket]
-        vmax = jnp.max(blk, axis=1, keepdims=True)     # [UB, 1]
-        # first-match argmax: min lane index attaining the max
-        hit = jnp.where(blk == vmax, lane, bucket)
-        amax = jnp.min(hit, axis=1, keepdims=True)     # [UB, 1]
-        vals_ref[:, c:c + 1] = vmax
-        ids_ref[:, c:c + 1] = j * item_tile + c * bucket + amax
+    ub = u_ref.shape[0]
+    item_block = chunk * n_chunks
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ub, _LANES), 1)
+    acc_v = jnp.full((ub, _LANES), -jnp.inf, acc_dtype)
+    # init to the bucket's first member id so even an all--inf (padding)
+    # bucket reports a valid member, matching numpy argmax-of-equals
+    acc_i = j * item_block + lane
+    for c in range(n_chunks):
+        v_c = v_ref[c * chunk:(c + 1) * chunk, :]
+        s = jax.lax.dot_general(
+            u_ref[:], v_c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        ) + b_ref[:, c * chunk:(c + 1) * chunk].astype(acc_dtype)
+        for a in range(chunk // _LANES):
+            blk = s[:, a * _LANES:(a + 1) * _LANES]
+            idx = j * item_block + c * chunk + a * _LANES + lane
+            upd = blk > acc_v
+            acc_v = jnp.where(upd, blk, acc_v)
+            acc_i = jnp.where(upd, idx, acc_i)
+    vals_ref[:] = acc_v
+    ids_ref[:] = acc_i
 
 
 def bucket_max_scores(user_vecs, item_table, item_bias,
                       bucket: int = 128, item_tile: int = 2048,
                       user_block: int = 256, interpret: bool = False):
-    """[B, L] (bucket-max scores, argmax item ids) of u·Vᵀ+b, L=I/bucket,
-    computed in one fused pass (never materializing [B, I]).
+    """[B, L] (bucket-max scores, argmax item ids) of u.V^T + b,
+    L = I_pad/bucket, computed in one fused pass (never materializing
+    [B, I]).
 
     user_vecs [B, D]; item_table [I, D]; item_bias [I] or [I, 1] or None.
-    Rows past I are padded with -inf bias so they never win. The dot
-    accumulates in fp32 regardless of table dtype (bf16 tables halve the
-    only remaining HBM traffic)."""
+    `bucket` = reduction ratio (items per bucket); `item_tile` = MXU chunk
+    size per in-kernel dot (multiple of 128). Bucket membership is
+    strided (see module docstring): item t belongs to bucket
+    `(t // (128*bucket)) * 128 + t % 128`. Rows past I get -inf bias so
+    they never win. The dot accumulates in fp32 regardless of table dtype
+    (bf16 tables halve the only remaining HBM traffic).
+    """
     B, D = user_vecs.shape
     I = item_table.shape[0]
-    item_tile = min(item_tile, _round_up(I, bucket))
-    I_pad = _round_up(I, item_tile)
+    itemsize = jnp.dtype(item_table.dtype).itemsize
+    # Items per grid step. Shrink (= lower reduction ratio, strictly
+    # better recall) until the streamed table block fits the VMEM budget.
+    while bucket > 1 and bucket * _LANES * D * itemsize > _MAX_VBLOCK_BYTES:
+        bucket //= 2
+    item_block = bucket * _LANES
+    chunk = max(_LANES, min(_round_up(item_tile, _LANES), item_block))
+    while item_block % chunk:
+        chunk -= _LANES
+    n_chunks = item_block // chunk
+
+    I_pad = _round_up(I, item_block)
     UB = min(user_block, _round_up(B, 8))
     B_pad = _round_up(B, UB)
     L = I_pad // bucket
@@ -100,31 +141,38 @@ def bucket_max_scores(user_vecs, item_table, item_bias,
     else:
         b = b.at[0, :I].set(0.0)
 
-    kernel = functools.partial(_bucket_max_kernel, item_tile=item_tile,
-                               bucket=bucket, acc_dtype=jnp.float32)
-    grid = (B_pad // UB, I_pad // item_tile)
-    buckets_per_tile = item_tile // bucket
+    kernel = functools.partial(_bucket_max_kernel, chunk=chunk,
+                               n_chunks=n_chunks, acc_dtype=jnp.float32)
+    grid = (B_pad // UB, I_pad // item_block)
     vals, ids = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((UB, D), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((item_tile, D), lambda i, j: (j, 0),
+            pl.BlockSpec((item_block, D), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, item_tile), lambda i, j: (0, j),
+            pl.BlockSpec((1, item_block), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((UB, buckets_per_tile), lambda i, j: (i, j),
+            pl.BlockSpec((UB, _LANES), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((UB, buckets_per_tile), lambda i, j: (i, j),
+            pl.BlockSpec((UB, _LANES), lambda i, j: (i, j),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B_pad, L), jnp.float32),
             jax.ShapeDtypeStruct((B_pad, L), jnp.int32),
         ],
+        # Every (i, j) cell writes its own output block — no cross-cell
+        # dependency. The default 16MB scoped-vmem budget is ~0.5MB short
+        # of this kernel's working set at the default tile sizes; v5e has
+        # 128MB physical VMEM, so give Mosaic real headroom.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 << 20,
+        ) if _HAS_PALLAS and not interpret else None,
         interpret=interpret,
     )(u, v, b)
     return vals[:B], ids[:B]
@@ -132,17 +180,28 @@ def bucket_max_scores(user_vecs, item_table, item_bias,
 
 def pallas_score_topk(user_vecs, item_table, item_bias, k: int,
                       bucket: int = 128, item_tile: int = 2048,
-                      user_block: int = 256, interpret: bool = False):
+                      user_block: int = 256, interpret: bool = False,
+                      recall_target: float | None = None):
     """(top_vals, top_ids): fused Pallas bucket-max pass + exact top-k
-    over the [B, I/bucket] maxima. Same guarantee as `lax.approx_max_k`
-    at reduction ratio I/L: every returned score/id exact; recall < 1
-    only from top-k collisions within a bucket."""
+    over the [B, L] maxima. Same guarantee as `lax.approx_max_k` at
+    reduction ratio `bucket`: every returned score/id exact; recall < 1
+    only from top-k collisions within a bucket.
+
+    recall_target: if given, overrides `bucket` with the largest power of
+    two whose expected recall (1 - (k-1)/(2L), the birthday bound for k
+    uniform winners over L buckets) meets the target — the same sizing
+    rule approx_max_k applies to its PartialReduce ratio."""
     I = item_table.shape[0]
     assert k <= I, (k, I)
-    # need at least k buckets; shrink bucket (power of two) until L >= k
-    while bucket > 1 and I // bucket < k:
+    if recall_target is not None and k > 1:
+        l_min = (k - 1) / (2.0 * max(1e-6, 1.0 - recall_target))
+        bucket = max(1, min(int(bucket), int(I / max(l_min, 1.0))))
+        while bucket & (bucket - 1):          # round down to power of two
+            bucket &= bucket - 1
+    # Need L = 128 * ceil(I/(128*bucket)) >= k buckets; shrink the ratio
+    # (power of two) until satisfied. k <= 128 always passes.
+    while bucket > 1 and _LANES * -(-I // (_LANES * bucket)) < k:
         bucket //= 2
-    item_tile = max(bucket, item_tile - item_tile % bucket)
     vals, ids = bucket_max_scores(user_vecs, item_table, item_bias,
                                   bucket=bucket, item_tile=item_tile,
                                   user_block=user_block,

@@ -10,12 +10,14 @@ docs/PERF_NOTES.md. `topk_xla` is the exact-ranking path (eval parity).
 `fused_score_topk` is a Pallas study kernel that streams the catalog
 through VMEM in tiles with a running top-k per user block (never
 materializing [B, I]). Mosaic cannot currently lower `lax.top_k` inside a
-TPU kernel, so on TPU it is only runnable in interpret mode; it exists as
-the blueprint for the day the merge primitive lands (or for a manual
-bitonic-merge variant) and is exercised against the XLA oracle in
-tests/test_ops.py. Production retrieval should call `topk_approx` (big
-catalogs) or `topk_xla` (exact ranking / eval parity); row-sharded
-catalogs use parallel/embedding.py's `sharded_topk`.
+TPU kernel, so on TPU it is only runnable in interpret mode. The
+COMPILED production kernel that achieves the same fusion without an
+in-kernel sort is `ops/bucketed_topk.pallas_score_topk` (strided
+bucket-max; 1.4-1.5× approx_max_k on real TPU — docs/PERF_NOTES.md).
+Production retrieval: `pallas_score_topk` or `topk_approx` for big
+catalogs, `topk_xla` for exact ranking / eval parity; row-sharded
+catalogs use parallel/embedding.py's `sharded_topk` /
+`sharded_pallas_topk`.
 """
 
 from __future__ import annotations

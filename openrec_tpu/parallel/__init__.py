@@ -5,7 +5,8 @@ from openrec_tpu.parallel.train import (
     make_parallel_device_train_step, make_parallel_eval_step,
     make_parallel_sparse_train_step, make_parallel_train_step)
 from openrec_tpu.parallel.embedding import (
-    pad_rows, sharded_lookup, sharded_scores, sharded_topk)
+    pad_rows, sharded_lookup, sharded_pallas_topk, sharded_scores,
+    sharded_topk)
 from openrec_tpu.parallel.bucketed import (
     alltoall_lookup, bucket_batch, bucket_batch_2d, bucket_ids,
     gathered_lookup)

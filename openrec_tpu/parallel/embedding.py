@@ -114,3 +114,62 @@ def sharded_topk(scores, k: int, mesh, axis: str = MODEL_AXIS,
     return jax.shard_map(
         _kernel, mesh=mesh, in_specs=(batch_spec,),
         out_specs=(out_spec, out_spec), check_vma=False)(scores)
+
+
+def sharded_pallas_topk(user_vecs, table, bias, k: int, mesh,
+                        axis: str = MODEL_AXIS,
+                        recall_target: float | None = None,
+                        interpret: bool | None = None):
+    """Fused retrieval over a row-sharded catalog: each shard streams its
+    [I/m, D] table slice through the Pallas bucket-max kernel
+    (ops/bucketed_topk.py) and keeps an exact local top-k; the k·m
+    candidates are all_gathered and exactly merged. Unlike
+    `sharded_scores` + `sharded_topk`, the per-shard [B, I/m] score matrix
+    never exists in HBM — per-shard traffic is just the table slice plus
+    O(B·L) bucket maxima, so this is the path for catalogs that outgrow
+    one chip's HBM (ROADMAP: row-sharded serving).
+
+    user_vecs [B, D] replicated over `axis` (may be sharded over other
+    mesh axes); table [I_padded, D] P(axis, None); bias [I_padded, 1] /
+    [I_padded] P(axis, None) or None. Returns ([B, k] scores, [B, k]
+    global item ids), every returned pair exact; recall follows the
+    bucket-collision law per shard (see pallas_score_topk).
+
+    interpret defaults to `backend != tpu` so CPU-mesh tests and the
+    driver dryrun execute the same code path.
+    """
+    from openrec_tpu.ops.bucketed_topk import pallas_score_topk
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    num_shards = mesh.shape[axis]
+    rows_per_shard = table.shape[0] // num_shards
+
+    def _kernel(u, v_shard, b_shard):
+        shard = jax.lax.axis_index(axis)
+        vals, idx = pallas_score_topk(
+            u, v_shard, b_shard, k,
+            recall_target=recall_target, interpret=interpret)
+        idx = idx + shard * rows_per_shard
+        vals = jax.lax.all_gather(vals, axis, axis=-1, tiled=True)
+        idx = jax.lax.all_gather(idx, axis, axis=-1, tiled=True)
+        best_v, best_pos = jax.lax.top_k(vals, k)
+        return best_v, jnp.take_along_axis(idx, best_pos, axis=-1)
+
+    other_axes = tuple(a for a in mesh.axis_names if a != axis)
+    batch_spec = P(*other_axes) if other_axes else P()
+    bias_spec = P(axis) if bias is not None and bias.ndim == 1 \
+        else P(axis, None)
+    if bias is None:
+        def _kernel_nb(u, v_shard):
+            return _kernel(u, v_shard, None)
+        return jax.shard_map(
+            _kernel_nb, mesh=mesh,
+            in_specs=(batch_spec, P(axis, None)),
+            out_specs=(batch_spec, batch_spec),
+            check_vma=False)(user_vecs, table)
+    return jax.shard_map(
+        _kernel, mesh=mesh,
+        in_specs=(batch_spec, P(axis, None), bias_spec),
+        out_specs=(batch_spec, batch_spec),
+        check_vma=False)(user_vecs, table, bias)

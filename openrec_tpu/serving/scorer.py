@@ -76,7 +76,7 @@ class CachedDotProductScorer:
                 from openrec_tpu.ops.bucketed_topk import pallas_score_topk
                 rows = U[ids].astype(V.dtype)
                 return pallas_score_topk(
-                    rows, V, b, k,
+                    rows, V, b, k, recall_target=recall_target,
                     interpret=jax.default_backend() != "tpu")
             rows = U[ids].astype(V.dtype)
             s = jnp.dot(rows, V.T, preferred_element_type=jnp.float32) + b

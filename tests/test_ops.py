@@ -66,8 +66,9 @@ from openrec_tpu.ops.bucketed_topk import bucket_max_scores, \
 
 
 @pytest.mark.parametrize("B,I,D,bucket,tile",
-                         [(4, 1024, 16, 128, 256),
-                          (12, 700, 8, 64, 256)])
+                         [(4, 1024, 16, 8, 256),    # n_j=1, multi-chunk
+                          (12, 700, 8, 4, 256),     # padded tail block
+                          (6, 1300, 16, 2, 128)])   # n_j>=2 (j indexing)
 def test_bucket_max_scores_matches_numpy(B, I, D, bucket, tile):
     rng = np.random.default_rng(2)
     u = rng.normal(size=(B, D)).astype(np.float32)
@@ -79,12 +80,20 @@ def test_bucket_max_scores_matches_numpy(B, I, D, bucket, tile):
                                   interpret=True)
     vals, ids = np.asarray(vals), np.asarray(ids)
     scores = u @ v.T + b[None, :]
-    I_pad = -(-I // tile) * tile
+    # Strided bucket oracle: item t = j*item_block + a*128 + lane belongs
+    # to bucket j*128 + lane; within the bucket, members are ordered by a
+    # (earliest item index wins ties via argmax).
+    item_block = bucket * 128
+    I_pad = -(-I // item_block) * item_block
     pad = np.full((B, I_pad - I), -np.inf, np.float32)
-    s = np.concatenate([scores, pad], axis=1).reshape(B, -1, bucket)
-    np.testing.assert_allclose(vals, s.max(axis=2), rtol=1e-5, atol=1e-5)
-    want_ids = s.argmax(axis=2) + np.arange(s.shape[1])[None, :] * bucket
-    np.testing.assert_array_equal(ids, want_ids)
+    s4 = np.concatenate([scores, pad], axis=1).reshape(B, -1, bucket, 128)
+    n_j = s4.shape[1]
+    np.testing.assert_allclose(
+        vals, s4.max(axis=2).reshape(B, -1), rtol=1e-5, atol=1e-5)
+    a_star = s4.argmax(axis=2)                         # [B, n_j, 128]
+    want_ids = (np.arange(n_j)[None, :, None] * item_block
+                + a_star * 128 + np.arange(128)[None, None, :])
+    np.testing.assert_array_equal(ids, want_ids.reshape(B, -1))
 
 
 def test_pallas_score_topk_exact_when_buckets_disjoint():
@@ -95,9 +104,10 @@ def test_pallas_score_topk_exact_when_buckets_disjoint():
     u = rng.normal(size=(B, D)).astype(np.float32)
     v = rng.normal(size=(I, D)).astype(np.float32) * 0.01
     b = np.zeros((I,), np.float32)
-    # plant one big winner in each of the first k buckets
+    # plant one big winner in each of k distinct (strided) buckets: items
+    # 0..k-1 sit at lanes 0..k-1 of grid block 0 -> k different buckets
     for r in range(k):
-        b[r * bucket + int(rng.integers(0, bucket))] = 100.0 - r
+        b[r] = 100.0 - r
     want_v, want_i = topk_xla(jnp.asarray(u), jnp.asarray(v),
                               jnp.asarray(b), k)
     got_v, got_i = pallas_score_topk(jnp.asarray(u), jnp.asarray(v),
