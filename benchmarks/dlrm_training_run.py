@@ -13,6 +13,15 @@ Planted structure: label = Bernoulli(sigmoid(w·dense + Σ_j a·sin(id_j·φ_j))
 arrays. Validation uses held-out draws from the same generator, so rising
 val AUC = genuine learning, not memorization.
 
+CRITICAL measurement rule (docs/PERF_NOTES.md "donation poisoning"): on
+this backend, ANY device->host transfer (np.asarray, float(loss)) made
+in the process permanently disables buffer donation — after one fetch,
+every sparse step copies params+moments (6.5 GB, 0.6ms -> 63ms/step).
+So validation AUC is computed ON DEVICE, interval records are kept as
+device scalars, and everything is fetched ONCE after the timed loop.
+Interval boundaries use block_until_ready (blocking is safe; fetching
+is not).
+
 Writes benchmarks/dlrm_training_run.json. Run ALONE on the TPU:
   python benchmarks/dlrm_training_run.py
 """
@@ -37,7 +46,10 @@ COUNTS = [1460, 583, 10131227, 2202608, 305, 24, 12517, 633, 3, 93145,
 B = 4096
 TOTAL_STEPS = 3000
 EVAL_EVERY = 500
-TRAIN_POOL = 512          # distinct pre-staged train batches (~2.1M ex)
+TRAIN_POOL = 2048         # distinct pre-staged train batches (~8.4M ex,
+                          # so the 12.3M-example run reuses each at most
+                          # ~1.5x — keeps the curve an honest
+                          # generalization trajectory, not memorization)
 VAL_BATCHES = 32
 SEED = 0
 
@@ -65,14 +77,26 @@ def gen_batch(rng):
             "label": label}
 
 
-def auc_np(y, s):
-    order = np.argsort(s)
-    ranks = np.empty(len(s))
-    ranks[order] = np.arange(1, len(s) + 1)
-    n_pos = y.sum()
-    n_neg = len(y) - n_pos
-    return float((ranks[y > 0].sum() - n_pos * (n_pos + 1) / 2)
-                 / (n_pos * n_neg))
+def make_auc_dev():
+    """On-device binary-classification AUC (rank-sum / Mann-Whitney) —
+    the host-numpy version would device_get the scores and trip donation
+    poisoning (module docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def auc(y, s):
+        n = s.shape[0]
+        order = jnp.argsort(s)
+        ranks = jnp.zeros(n, jnp.float64 if jax.config.jax_enable_x64
+                          else jnp.float32)
+        ranks = ranks.at[order].set(jnp.arange(1, n + 1, dtype=ranks.dtype))
+        pos = (y > 0).astype(ranks.dtype)
+        n_pos = pos.sum()
+        n_neg = n - n_pos
+        return (ranks @ pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+    return auc
 
 
 def main():
@@ -101,53 +125,73 @@ def main():
     val_rng = np.random.default_rng(SEED + 1)
     val = [gen_batch(val_rng) for _ in range(VAL_BATCHES)]
     val_dev = [(jnp.asarray(b["dense_features"]),
-                jnp.asarray(b["sparse_features"]), b["label"])
+                jnp.asarray(b["sparse_features"]),
+                jnp.asarray(b["label"]))
                for b in val]
     print(f"staged in {time.perf_counter() - t0:.1f}s", flush=True)
 
+    auc_dev = make_auc_dev()
+
     def val_auc():
-        ys, ss = [], []
-        for dense, sparse, label in val_dev:
-            ss.append(np.asarray(predict(params, dense, sparse)))
-            ys.append(label)
-        return auc_np(np.concatenate(ys), np.concatenate(ss))
+        # all on device: no host fetch until after the timed loop
+        ss = jnp.concatenate(
+            [predict(params, dense, sparse)
+             for dense, sparse, _ in val_dev])
+        ys = jnp.concatenate([label for _, _, label in val_dev])
+        return auc_dev(ys, ss)
 
     # compile + warm
     params, opt_state, loss = step_fn(params, opt_state, train_pool[0],
                                       jax.random.PRNGKey(0))
     jax.block_until_ready(loss)
     base_auc = val_auc()
-    print(f"init val AUC {base_auc:.4f}", flush=True)
+    jax.block_until_ready(base_auc)
 
-    curve = []
+    # One fixed step key: DLRM's BCE loss consumes no per-step RNG (the
+    # batches are pre-sampled), so this is mathematically identical and
+    # avoids both the per-step PRNGKey(i) dispatch (+0.3ms/step) and the
+    # `list(jax.random.split(...))` trap — iterating a device array
+    # fetches it to the host, which trips donation poisoning (module
+    # docstring; measured 63ms/step). Models that DO use per-step RNG
+    # should pass PRNGKey(i).
+    step_key = jax.random.PRNGKey(SEED + 7)
+
+    curve = []       # (step, device auc, device loss, interval ms/step)
     t_start = time.perf_counter()
     t_int = t_start
     for i in range(1, TOTAL_STEPS + 1):
         params, opt_state, loss = step_fn(
-            params, opt_state, train_pool[i % TRAIN_POOL],
-            jax.random.PRNGKey(i))
+            params, opt_state, train_pool[i % TRAIN_POOL], step_key)
         if i % EVAL_EVERY == 0:
             jax.block_until_ready(loss)
             train_dt = time.perf_counter() - t_int
             a = val_auc()
+            jax.block_until_ready(a)
             t_int = time.perf_counter()
-            rec = {"step": i, "val_auc": round(a, 4),
-                   "loss": round(float(loss), 4),
-                   "train_ms_per_step": round(train_dt / EVAL_EVERY * 1e3,
-                                              3)}
-            curve.append(rec)
-            print(rec, flush=True)
+            curve.append((i, a, loss, train_dt / EVAL_EVERY * 1e3))
+            print(f"step {i} interval {train_dt/EVAL_EVERY*1e3:.3f} "
+                  "ms/step (auc/loss still on device)", flush=True)
     jax.block_until_ready(params["mlp_top"][0]["w"])
     wall = time.perf_counter() - t_start
     sustained = TOTAL_STEPS * B / wall
+
+    # Timed region over — NOW it is safe to fetch (device_get from here
+    # on only slows steps we no longer run).
+    curve = [{"step": s, "val_auc": round(float(a), 4),
+              "loss": round(float(l), 4),
+              "train_ms_per_step": round(ms, 3)}
+             for s, a, l, ms in curve]
+    for rec in curve:
+        print(rec, flush=True)
 
     out = {
         "config": {"batch": B, "m_spa": 16, "total_rows": int(sum(COUNTS)),
                    "table_gb": round(sum(COUNTS) * 16 * 4 / 1e9, 2),
                    "steps": TOTAL_STEPS, "eval_every": EVAL_EVERY,
+                   "train_pool_batches": TRAIN_POOL,
                    "path": "fused table + O(batch) sparse Adam, "
-                           "per-step async"},
-        "init_val_auc": round(base_auc, 4),
+                           "per-step async, on-device eval metrics"},
+        "init_val_auc": round(float(base_auc), 4),
         "curve": curve,
         "wall_s": round(wall, 2),
         "sustained_examples_per_s_incl_eval": round(sustained, 1),

@@ -16,6 +16,15 @@ so per-step HBM traffic scales with |catalog|. For production-size tables
 
 Everything is static-shaped (unique via sort + mask padding) — one XLA
 program, no recompiles.
+
+Measurement/operational rule (docs/PERF_NOTES.md "donation poisoning"):
+on the axon TPU backend, any device->host fetch (float(loss),
+np.asarray of a prediction) permanently disables the donated in-place
+scatter for all later steps in the process — the step then copies
+params+moments every call (0.6 -> 63 ms/step at Criteo scale). In
+training loops built on this step, compute interval metrics ON DEVICE
+and fetch once after the timed region (see
+benchmarks/dlrm_training_run.py); block_until_ready is safe.
 """
 
 from __future__ import annotations
