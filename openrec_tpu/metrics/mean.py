@@ -6,6 +6,14 @@ outputs are tiny relative to the eval compute.
 
 Supports a `valid` row mask so padded eval batches (static shapes for XLA)
 don't pollute the averages.
+
+DeviceMean / DeviceDictMean are the on-device twins: they accumulate with
+jnp ops and hold device scalars, so a training loop can log/evaluate
+WITHOUT a single device→host fetch until the run ends. This matters
+because on the axon TPU backend one fetch permanently disables buffer
+donation for every later step (docs/PERF_NOTES.md "donation poisoning":
+0.6 → 63 ms/step on Criteo-scale tables). Trainer.train(defer_metrics=
+True) uses them.
 """
 
 from __future__ import annotations
@@ -30,6 +38,73 @@ class Mean:
     def reset_states(self):
         self._sum = 0.0
         self._count = 0.0
+
+
+class DeviceMean:
+    """Scalar streaming mean kept on device (no host fetch)."""
+
+    def __init__(self):
+        self.reset_states()
+
+    def update_state(self, values):
+        import jax.numpy as jnp
+        v = jnp.asarray(values)
+        s = v.sum()
+        self._sum = s if self._sum is None else self._sum + s
+        self._count += float(v.size)
+
+    def result_device(self):
+        """Mean as a device scalar (0.0 if nothing accumulated)."""
+        if self._sum is None:
+            return 0.0
+        return self._sum / max(self._count, 1.0)
+
+    def result(self):
+        return float(self.result_device())
+
+    def reset_states(self):
+        self._sum = None
+        self._count = 0.0
+
+
+class DeviceDictMean:
+    """DictMean kept on device: sums/counts are jnp arrays; `result_device`
+    returns a dict of device arrays for the caller to fetch once, later."""
+
+    def __init__(self):
+        self.reset_states()
+
+    def reset_states(self):
+        self._sums = {}
+        self._counts = {}
+
+    def update_state(self, state: dict, valid=None):
+        import jax.numpy as jnp
+        for key, values in state.items():
+            v = jnp.asarray(values, jnp.float32)
+            if valid is not None and v.ndim > 0:
+                m = jnp.asarray(valid, jnp.float32)
+                s = (v * m.reshape((-1,) + (1,) * (v.ndim - 1))).sum(axis=0)
+                n = m.sum()
+            else:
+                s = v.sum(axis=0) if v.ndim else v
+                n = float(v.shape[0]) if v.ndim else 1.0
+            if key in self._sums:
+                self._sums[key] = self._sums[key] + s
+                self._counts[key] = self._counts[key] + n
+            else:
+                self._sums[key] = s
+                self._counts[key] = n
+
+    def result_device(self):
+        import jax.numpy as jnp
+        return {key: self._sums[key] / jnp.maximum(self._counts[key], 1.0)
+                for key in self._sums}
+
+    def result(self):
+        import jax
+        return {k: np.asarray(v)
+                for k, v in jax.device_get(self.result_device()).items()}
 
 
 class DictMean:

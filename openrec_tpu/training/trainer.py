@@ -25,7 +25,8 @@ import numpy as np
 import optax
 
 from openrec_tpu import checkpoint as ckpt_lib
-from openrec_tpu.metrics import AUC, NDCG, DictMean, Mean, Precision, Recall
+from openrec_tpu.metrics import (AUC, NDCG, DeviceDictMean, DeviceMean,
+                                 DictMean, Mean, Precision, Recall)
 
 
 def _color(text, code):
@@ -297,7 +298,8 @@ class Trainer:
     def evaluate(self, eval_sampler, at=(50, 100),
                  eval_fn: Callable = None, scorer=None,
                  eval_chunk: int = 16384,
-                 dump_path: Optional[str] = None) -> dict:
+                 dump_path: Optional[str] = None,
+                 defer_metrics: bool = False) -> dict:
         """Run one epoch of an EvaluationSampler; returns metric means.
         Accepts mask batches, id batches (device_masks=True), or
         per-record regression batches (RegressionEvalSampler → MSE).
@@ -310,8 +312,19 @@ class Trainer:
         full-catalog score row (plus user ids) for offline analysis — the
         reference's per-user score pickle (implicit_model_trainer.py:
         150-175). Not supported together with `scorer` (the chunked path
-        exists precisely to never materialize those rows)."""
+        exists precisely to never materialize those rows).
+
+        defer_metrics: accumulate ON DEVICE and return a dict of device
+        arrays instead of numpy — no device→host fetch happens, so a
+        surrounding giant-table training loop keeps its buffer donation
+        (docs/PERF_NOTES.md "donation poisoning"). Fetch the returned
+        dict with jax.device_get(...) after the timed region."""
         acc = None
+        if defer_metrics:
+            assert dump_path is None, \
+                "dump_path fetches scores to host; incompatible with " \
+                "defer_metrics"
+            acc = DeviceDictMean()
         if scorer is not None:
             # params changed since the last eval epoch (the reference's
             # _model_updated flag, fast_dot_product_server.py:132-141)
@@ -341,10 +354,11 @@ class Trainer:
                 step = self._default_eval_step(at)
                 out = step(self.params, batch["user_id"],
                            batch["pos_mask"], batch["excl_mask"])
-            out = jax.device_get(out)
-            if acc is None:
-                acc = DictMean({k: list(np.asarray(v).shape[1:])
-                                for k, v in out.items()})
+            if not defer_metrics:
+                out = jax.device_get(out)
+                if acc is None:
+                    acc = DictMean({k: list(np.asarray(v).shape[1:])
+                                    for k, v in out.items()})
             acc.update_state(out, valid=batch.get("valid"))
             if dump_path is not None:
                 rows = np.asarray(self._score(
@@ -361,6 +375,8 @@ class Trainer:
                      if dump_users else np.empty(0, np.int32),
                      scores=np.concatenate(dump_scores)
                      if dump_scores else np.empty((0, 0), np.float32))
+        if defer_metrics:
+            return acc.result_device() if acc._sums else {}
         return acc.result() if acc is not None else {}
 
     # ------------------------------------------------------------------ #
@@ -389,7 +405,8 @@ class Trainer:
               steps_per_call: int = 1,
               scorer=None, eval_chunk: int = 16384,
               update_interval: Optional[int] = None,
-              update_fn: Callable = None) -> dict:
+              update_fn: Callable = None,
+              defer_metrics: bool = False) -> dict:
         """Iteration-driven loop (reference model_trainer.py:60-97).
 
         train_batches: iterable of batch dicts (e.g. Dataset.pairwise(...)).
@@ -408,10 +425,21 @@ class Trainer:
           model.update_embeddings() every update_itr). update_fn defaults
           to jit(model.update_embeddings); intervals should be multiples
           of steps_per_call.
+        defer_metrics: keep loss and eval metrics ON DEVICE for the whole
+          run and fetch everything once at the end — no device→host
+          transfer happens inside the loop, so giant-table sparse/donated
+          steps keep their in-place updates (docs/PERF_NOTES.md "donation
+          poisoning": one float(loss) fetch makes every later Criteo-scale
+          step copy 6.5GB, 0.6→63 ms/step). Interval console lines then
+          show it/s only; the full records (and JSONL) are emitted after
+          the loop. Note save_interval still fetches params to write the
+          checkpoint — mid-run checkpointing costs donation from that
+          point on; prefer saving at the end when throughput matters.
         Returns the last eval results.
         """
         eval_samplers = eval_samplers or {}
-        avg_loss = Mean()
+        avg_loss = DeviceMean() if defer_metrics else Mean()
+        deferred = []        # (step, it/s, device loss, device eval dict)
         last_results = {}
         t_start = time.time()
         # A Device*Sampler (data/device_sampler.py) trains with sampling
@@ -449,7 +477,8 @@ class Trainer:
                 self._log(f"train stream exhausted at iter "
                           f"{self.global_step}")
                 break
-            avg_loss.update_state(jax.device_get(loss))
+            avg_loss.update_state(loss if defer_metrics
+                                  else jax.device_get(loss))
 
             if update_interval and i % update_interval == 0:
                 self.params = update_fn(self.params)
@@ -459,15 +488,25 @@ class Trainer:
                 self.save()
 
             if eval_interval and i % eval_interval == 0:
+                if defer_metrics:
+                    jax.block_until_ready(loss)   # honest it/s boundary
                 dt = time.time() - t_start
                 its_per_s = eval_interval / dt if dt > 0 else float("inf")
                 results = {}
                 for name, sampler in eval_samplers.items():
-                    results[name] = self.evaluate(sampler, at=at,
-                                                  eval_fn=eval_fn,
-                                                  scorer=scorer,
-                                                  eval_chunk=eval_chunk)
+                    results[name] = self.evaluate(
+                        sampler, at=at, eval_fn=eval_fn, scorer=scorer,
+                        eval_chunk=eval_chunk, defer_metrics=defer_metrics)
                 last_results = results
+                if defer_metrics:
+                    deferred.append((self.global_step, its_per_s,
+                                     avg_loss.result_device(), results))
+                    self._log(f"Iter {self.global_step}  "
+                              f"({its_per_s:.1f} it/s)  "
+                              "[metrics on device, fetched at end]")
+                    avg_loss = DeviceMean()
+                    t_start = time.time()
+                    continue
                 msg = (f"Iter {self.global_step}  "
                        f"loss {avg_loss.result():.4f}  "
                        f"({its_per_s:.1f} it/s)")
@@ -487,6 +526,21 @@ class Trainer:
 
         if hasattr(train_batches, "stop"):
             train_batches.stop()
+        if deferred:
+            # ONE fetch for the whole run, after the timed region.
+            fetched = jax.device_get([(l, r) for _, _, l, r in deferred])
+            for (step, its, _, _), (lv, res) in zip(deferred, fetched):
+                res = {name: {k: np.asarray(v) for k, v in d.items()}
+                       for name, d in res.items()}
+                msg = f"Iter {step}  loss {float(lv):.4f}  ({its:.1f} it/s)"
+                for name, d in res.items():
+                    parts = [f"{k}={np.array2string(np.asarray(v), precision=4)}"
+                             for k, v in d.items()]
+                    msg += f"  [{name}] " + " ".join(parts)
+                self._log(_color(msg, "32"))
+                self._log_jsonl({"step": step, "loss": float(lv),
+                                 "iters_per_s": its, "eval": res})
+                last_results = res
         return last_results
 
     def evaluate_temporal(self, eval_sampler, at=(50, 100)) -> dict:

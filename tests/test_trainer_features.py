@@ -162,3 +162,50 @@ def test_train_with_scorer_interval_eval():
         np.testing.assert_allclose(np.asarray(chunked["val"][k]),
                                    np.asarray(dense["val"][k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_defer_metrics_matches_host_path(tmp_path):
+    """defer_metrics=True (all metrics on device, one fetch at the end —
+    the donation-poisoning-safe mode, docs/PERF_NOTES.md) must produce
+    numerically identical loss/eval records to the default host path."""
+    import json
+
+    train = make_interactions(num_users=25, num_items=70, per_user=6,
+                              seed=4)
+    val = make_interactions(num_users=25, num_items=70, per_user=4, seed=5)
+    train_ds = Dataset(train, 25, 70, seed=0)
+    val_store = InteractionStore(val, 25, 70, seed=0)
+    model = BPR(total_users=25, total_items=70, dim_user_embed=8,
+                dim_item_embed=8)
+
+    # one deterministic batch list reused by both runs
+    it = iter(train_ds.pairwise(batch_size=32, num_parallel_calls=1))
+    batches = [next(it) for _ in range(8)]
+
+    def run(defer, log):
+        tr = Trainer(model, lr=0.01, seed=0, log_file=str(log))
+        res = tr.train(
+            total_iter=8, train_batches=list(batches),
+            eval_samplers={"val": EvaluationSampler(
+                val_store, 8, excl_stores=[train_ds.store])},
+            eval_interval=4, at=AT, defer_metrics=defer)
+        with open(log) as f:
+            recs = [json.loads(line) for line in f]
+        return res, recs
+
+    host_res, host_recs = run(False, tmp_path / "host.jsonl")
+    dev_res, dev_recs = run(True, tmp_path / "dev.jsonl")
+
+    assert len(host_recs) == len(dev_recs) == 2
+    for hr, dr in zip(host_recs, dev_recs):
+        assert hr["step"] == dr["step"]
+        np.testing.assert_allclose(dr["loss"], hr["loss"], rtol=1e-5)
+        for k in hr["eval"]["val"]:
+            np.testing.assert_allclose(
+                np.asarray(dr["eval"]["val"][k]),
+                np.asarray(hr["eval"]["val"][k]),
+                rtol=1e-5, atol=1e-6, err_msg=k)
+    for k in host_res["val"]:
+        np.testing.assert_allclose(np.asarray(dev_res["val"][k]),
+                                   np.asarray(host_res["val"][k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
