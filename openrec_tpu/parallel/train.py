@@ -140,6 +140,84 @@ def make_parallel_device_train_step(model, tx, mesh, sampler,
     return step_fn, init_fn
 
 
+def make_parallel_device_sparse_train_step(model, table_specs, mesh,
+                                           sampler,
+                                           steps_per_call: int = 1,
+                                           rules=DEFAULT_RULES, **hyper):
+    """Giant-table pod-scale loop: per-shard ON-DEVICE sampling feeding
+    the distributed O(batch) sparse step — input needs zero host CPU and
+    zero host↔device transfers beyond one rng key per dispatch.
+
+    Tables (and their Adam moments) row-shard over 'model'; each 'data'
+    shard folds its mesh axis index into the rng and draws a disjoint
+    batch stream (the same duplicate-batch-race fix as
+    make_parallel_device_train_step); the sparse gather/scatter on the
+    sharded row axis partitions via GSPMD.
+
+    sampler: a Device*Sampler (data/device_sampler.py); its batch_size is
+    PER data shard.
+
+    steps_per_call > 1 scans the step — fine for sharded SMALL tables,
+    but never scan multi-GB-per-shard tables: XLA copies scan carries it
+    cannot alias (docs/PERF_NOTES.md). Keep the default 1 (per-step async
+    pipelining) for Criteo-scale models.
+
+    Returns (step_fn, init_fn):
+      init_fn(rng) -> (params, opt_state, param_shardings)
+      step_fn(params, opt_state, rng) -> (params, opt_state, loss(es))
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from openrec_tpu.parallel.mesh import DATA_AXIS
+    from openrec_tpu.training.sparse import make_sparse_train_step
+
+    init_state, _, step_core = make_sparse_train_step(model, table_specs,
+                                                      **hyper)
+
+    def init_fn(rng):
+        params = model.init(rng)
+        params, param_shardings = shard_params(params, mesh, rules)
+        opt_state = jax.jit(
+            init_state,
+            out_shardings=_opt_state_shardings(init_state, params,
+                                               param_shardings, mesh))(
+            params)
+        return params, opt_state, param_shardings
+
+    keys = sorted(jax.eval_shape(
+        lambda r: sampler.sample(r), jax.random.PRNGKey(0)).keys())
+
+    def _sample_shard(rng):
+        idx = jax.lax.axis_index(DATA_AXIS)
+        batch = sampler.sample(jax.random.fold_in(rng, idx))
+        return tuple(batch[k] for k in keys)
+
+    sample_global = jax.shard_map(
+        _sample_shard, mesh=mesh, in_specs=(P(None),),
+        out_specs=tuple(P(DATA_AXIS) for _ in keys),
+        check_vma=False)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step_fn(params, opt_state, rng):
+        def body(carry, step_rng):
+            params, opt_state = carry
+            r_sample, r_loss = jax.random.split(step_rng)
+            batch = dict(zip(keys, sample_global(r_sample)))
+            params, opt_state, loss = step_core(params, opt_state, batch,
+                                                r_loss)
+            return (params, opt_state), loss
+
+        if steps_per_call == 1:
+            (params, opt_state), loss = body((params, opt_state), rng)
+            return params, opt_state, loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state),
+            jax.random.split(rng, steps_per_call))
+        return params, opt_state, losses
+
+    return step_fn, init_fn
+
+
 def make_parallel_sparse_train_step(model, table_specs, mesh,
                                     rules=DEFAULT_RULES, **hyper):
     """Distributed O(batch) sparse step: tables (and their Adam moments)

@@ -49,6 +49,8 @@ class ParallelTrainer(Trainer):
         self.log_file = log_file
         self._batch_sharding = batch_sharding(mesh)
 
+        self._dense_tx = optimizer   # raw arg: sparse-step dense_tx must
+                                     # match the opt_state built here
         if sparse_tables is not None:
             step_fn, init_fn = make_parallel_sparse_train_step(
                 model, sparse_tables, mesh, rules=rules,
@@ -109,16 +111,24 @@ class ParallelTrainer(Trainer):
     def train_steps_device(self, sampler, k: int):
         """K steps with on-device PER-SHARD sampling (each data shard
         draws a disjoint stream — parallel/train.py
-        make_parallel_device_train_step)."""
+        make_parallel_device_train_step). With sparse_tables set, routes
+        through the distributed O(batch) sparse step
+        (make_parallel_device_sparse_train_step) — keep k=1 for
+        multi-GB-per-shard tables (scan carries copy; PERF_NOTES)."""
         from openrec_tpu.parallel.train import (
+            make_parallel_device_sparse_train_step,
             make_parallel_device_train_step)
-        assert self.sparse_tables is None, \
-            "device-sampled loop + sparse tables not wired yet"
         key = (id(sampler), k)
         if key not in self._multi_step_cache:
-            step_fn, _ = make_parallel_device_train_step(
-                self.model, self.tx, self.mesh, sampler,
-                steps_per_call=k, rules=self.rules)
+            if self.sparse_tables is not None:
+                step_fn, _ = make_parallel_device_sparse_train_step(
+                    self.model, self.sparse_tables, self.mesh, sampler,
+                    steps_per_call=k, rules=self.rules,
+                    learning_rate=self.lr, dense_tx=self._dense_tx)
+            else:
+                step_fn, _ = make_parallel_device_train_step(
+                    self.model, self.tx, self.mesh, sampler,
+                    steps_per_call=k, rules=self.rules)
             self._multi_step_cache[key] = step_fn
         self.rng, loop_rng = jax.random.split(self.rng)
         self.params, self.opt_state, losses = self._multi_step_cache[key](

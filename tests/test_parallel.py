@@ -257,3 +257,87 @@ def test_parallel_sparse_step_matches_single_device():
     np.testing.assert_allclose(np.asarray(params["mlp_top"][0]["w"]),
                                np.asarray(p["mlp_top"][0]["w"]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_device_sparse_step_matches_single_device_oracle():
+    """make_parallel_device_sparse_train_step (on-device per-shard
+    sampling + distributed O(batch) sparse step): on a data=1, model=4
+    mesh the rng protocol is reproducible on one device — replaying
+    sample(fold_in(r_sample, shard)) concatenated over shards through the
+    unsharded sparse step must give numerically identical params."""
+    from openrec_tpu.data.device_sampler import DevicePairwiseSampler
+    from openrec_tpu.data import InteractionStore
+    from openrec_tpu.parallel import make_parallel_device_sparse_train_step
+    from openrec_tpu.training.sparse import make_sparse_train_step
+    from conftest import make_interactions
+
+    mesh = make_mesh(data=2, model=4)
+    store = InteractionStore(make_interactions(num_users=24, num_items=64,
+                                               per_user=6, seed=9),
+                             24, 64, seed=0)
+    model = BPR(total_users=24, total_items=64, dim_user_embed=8,
+                dim_item_embed=8, l2_weight=0.0)
+    sampler = DevicePairwiseSampler(store, batch_size=16)
+    specs = {"user_embed": ["user_id"],
+             "item_embed": ["p_item_id", "n_item_id"],
+             "item_bias": ["p_item_id", "n_item_id"]}
+
+    step_fn, init_fn = make_parallel_device_sparse_train_step(
+        model, specs, mesh, sampler, learning_rate=0.01)
+    params, opt_state, _ = init_fn(jax.random.PRNGKey(0))
+
+    # single-device oracle with the same init and rng protocol
+    o_init, o_step, _ = make_sparse_train_step(model, specs,
+                                               learning_rate=0.01)
+    o_params = model.init(jax.random.PRNGKey(0))
+    o_opt = o_init(o_params)
+
+    rng = jax.random.PRNGKey(42)
+    for i in range(3):
+        rng, step_rng = jax.random.split(rng)
+        params, opt_state, loss = step_fn(params, opt_state, step_rng)
+        r_sample, r_loss = jax.random.split(step_rng)
+        shard_batches = [sampler.sample(jax.random.fold_in(r_sample, s))
+                         for s in range(2)]
+        batch = {k: jnp.concatenate([b[k] for b in shard_batches])
+                 for k in shard_batches[0]}
+        o_params, o_opt, o_loss = o_step(o_params, o_opt, batch, r_loss)
+        np.testing.assert_allclose(float(loss), float(o_loss), rtol=1e-5)
+
+    for k in params:
+        np.testing.assert_allclose(np.asarray(params[k]),
+                                   np.asarray(o_params[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+    # scanned variant (small sharded tables) executes too
+    step2, _ = make_parallel_device_sparse_train_step(
+        model, specs, mesh, sampler, steps_per_call=3, learning_rate=0.01)
+    params, opt_state, losses = step2(params, opt_state, rng)
+    assert losses.shape == (3,)
+    assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_parallel_trainer_device_sampled_sparse():
+    """ParallelTrainer.train_steps_device with sparse_tables set routes
+    through the device-sampled sparse step and trains."""
+    from openrec_tpu.data.device_sampler import DevicePairwiseSampler
+    from openrec_tpu.data import InteractionStore
+    from openrec_tpu.training.parallel_trainer import ParallelTrainer
+    from conftest import make_interactions
+
+    mesh = make_mesh(data=2, model=4)
+    store = InteractionStore(make_interactions(num_users=24, num_items=64,
+                                               per_user=6, seed=9),
+                             24, 64, seed=0)
+    model = BPR(total_users=24, total_items=64, dim_user_embed=8,
+                dim_item_embed=8, l2_weight=0.0)
+    specs = {"user_embed": ["user_id"],
+             "item_embed": ["p_item_id", "n_item_id"],
+             "item_bias": ["p_item_id", "n_item_id"]}
+    tr = ParallelTrainer(model, mesh, lr=0.01, sparse_tables=specs)
+    sampler = DevicePairwiseSampler(store, batch_size=8)
+    before = np.asarray(tr.params["user_embed"]).copy()
+    loss = tr.train_steps_device(sampler, 1)
+    assert np.isfinite(float(loss))
+    assert tr.global_step == 1
+    assert not np.allclose(np.asarray(tr.params["user_embed"]), before)
