@@ -71,17 +71,23 @@ def _bucket_max_kernel(u_ref, v_ref, b_ref, vals_ref, ids_ref, *,
 
     The item block holds `n_chunks * chunk` consecutive items. Each chunk
     is scored on the MXU as [UB, chunk], then folded 128 lanes at a time
-    into the running per-lane (max, argmax) accumulator. Strict `>` keeps
-    the earliest item index on ties (reference argmax convention).
+    into the running per-lane (max, row-code) accumulator. Strict `>`
+    keeps the earliest item index on ties (reference argmax convention).
+
+    VPU economy (this loop, not HBM, is the kernel's bound): the select
+    chain tracks a SCALAR per-iteration row code instead of a
+    materialized id tile, so the hot loop is cmp + 2 selects per 128
+    items; global ids are reconstructed once per cell at the end.
+    (Folding the bias into the matmul via an augmented D+1 dim was tried
+    and measured SLOWER — 1.0→1.4-2.0ms at tradesy — the off-tile last
+    dimension costs more in layout/DMA than the saved VPU add.)
     """
     j = pl.program_id(1)
     ub = u_ref.shape[0]
     item_block = chunk * n_chunks
     lane = jax.lax.broadcasted_iota(jnp.int32, (ub, _LANES), 1)
     acc_v = jnp.full((ub, _LANES), -jnp.inf, acc_dtype)
-    # init to the bucket's first member id so even an all--inf (padding)
-    # bucket reports a valid member, matching numpy argmax-of-equals
-    acc_i = j * item_block + lane
+    acc_c = jnp.zeros((ub, _LANES), jnp.int32)   # row code = c*(chunk/128)+a
     for c in range(n_chunks):
         v_c = v_ref[c * chunk:(c + 1) * chunk, :]
         s = jax.lax.dot_general(
@@ -91,12 +97,13 @@ def _bucket_max_kernel(u_ref, v_ref, b_ref, vals_ref, ids_ref, *,
         ) + b_ref[:, c * chunk:(c + 1) * chunk].astype(acc_dtype)
         for a in range(chunk // _LANES):
             blk = s[:, a * _LANES:(a + 1) * _LANES]
-            idx = j * item_block + c * chunk + a * _LANES + lane
             upd = blk > acc_v
             acc_v = jnp.where(upd, blk, acc_v)
-            acc_i = jnp.where(upd, idx, acc_i)
+            acc_c = jnp.where(upd, c * (chunk // _LANES) + a, acc_c)
     vals_ref[:] = acc_v
-    ids_ref[:] = acc_i
+    # code 0 ⇒ the bucket's first member, so even an all-padding bucket
+    # reports a valid member id (numpy argmax-of-equals convention)
+    ids_ref[:] = j * item_block + acc_c * _LANES + lane
 
 
 def bucket_max_scores(user_vecs, item_table, item_bias,
@@ -110,9 +117,11 @@ def bucket_max_scores(user_vecs, item_table, item_bias,
     `bucket` = reduction ratio (items per bucket); `item_tile` = MXU chunk
     size per in-kernel dot (multiple of 128). Bucket membership is
     strided (see module docstring): item t belongs to bucket
-    `(t // (128*bucket)) * 128 + t % 128`. Rows past I get -inf bias so
-    they never win. The dot accumulates in fp32 regardless of table dtype
-    (bf16 tables halve the only remaining HBM traffic).
+    `(t // (128*bucket)) * 128 + t % 128`.
+
+    Rows past I get a -1e30 bias so they never win (finite → NaN-free
+    with padded zero user rows). The dot accumulates in fp32 regardless
+    of table dtype (bf16 tables halve the table HBM traffic).
     """
     B, D = user_vecs.shape
     I = item_table.shape[0]
@@ -134,7 +143,7 @@ def bucket_max_scores(user_vecs, item_table, item_bias,
 
     u = jnp.zeros((B_pad, D), user_vecs.dtype).at[:B].set(user_vecs)
     v = jnp.zeros((I_pad, D), item_table.dtype).at[:I].set(item_table)
-    b = jnp.full((1, I_pad), -jnp.inf, jnp.float32)
+    b = jnp.full((1, I_pad), -1e30, jnp.float32)
     if item_bias is not None:
         b = b.at[0, :I].set(jnp.reshape(item_bias, (-1,)).astype(
             jnp.float32))

@@ -85,7 +85,8 @@ def test_bucket_max_scores_matches_numpy(B, I, D, bucket, tile):
     # (earliest item index wins ties via argmax).
     item_block = bucket * 128
     I_pad = -(-I // item_block) * item_block
-    pad = np.full((B, I_pad - I), -np.inf, np.float32)
+    # padded rows carry a -1e30 bias column (finite; see kernel docstring)
+    pad = np.full((B, I_pad - I), -1e30, np.float32)
     s4 = np.concatenate([scores, pad], axis=1).reshape(B, -1, bucket, 128)
     n_j = s4.shape[1]
     np.testing.assert_allclose(
