@@ -5,9 +5,10 @@ reference's two biggest catalog configs (tradesy 165,906 items, amazon
 450,166 items; tf1_examples/dataloader.py) along two axes:
 
 - exact `lax.top_k` vs `lax.approx_max_k` (TPU PartialReduce,
-  recall_target=0.99): the approx path is the production recommendation
-  for big catalogs (~7x device-side at tradesy scale, recall >= 0.99,
-  every returned score exact).
+  recall_target=0.99) vs method='pallas' (the compiled fused bucket-max
+  kernel, ops/bucketed_topk.py): approx/pallas are the production
+  recommendations for big catalogs (every returned score exact; see
+  docs/PERF_NOTES.md for the tradeoff).
 - fp32 vs bf16 cached tables (`serve_dtype`): halves table HBM traffic;
   fp32 accumulation keeps rankings stable outside near-ties.
 
@@ -61,23 +62,23 @@ def bench(users, items, dim, batch, k, trials=50):
             extract_item_vecs=lambda p, i: p["V"][i],
             extract_item_bias=lambda p, i: p["b"][i],
             serve_dtype=dt)
-        for mode, approx in [("exact", False), ("approx", True)]:
-            vals, idx = sc.topk(params, ids_dev, k, approx=approx)
+        for mode in ["exact", "approx", "pallas"]:
+            vals, idx = sc.topk(params, ids_dev, k, method=mode)
             jax.block_until_ready((vals, idx))
 
             t0 = time.perf_counter()
-            vals, idx = sc.topk(params, ids_np, k, approx=approx)
+            vals, idx = sc.topk(params, ids_np, k, method=mode)
             jax.block_until_ready((vals, idx))
             latency_ms = (time.perf_counter() - t0) * 1e3
 
             t0 = time.perf_counter()
             for t in range(trials):
                 vals, idx = sc.topk(params, ids_pool[t % len(ids_pool)],
-                                    k, approx=approx)
+                                    k, method=mode)
             jax.block_until_ready((vals, idx))
             pipelined_ms = (time.perf_counter() - t0) / trials * 1e3
             # recall check below compares against ids_dev's batch
-            vals, idx = sc.topk(params, ids_dev, k, approx=approx)
+            vals, idx = sc.topk(params, ids_dev, k, method=mode)
 
             idx = np.asarray(idx)
             if ref_idx is None:

@@ -83,8 +83,8 @@ class CachedDotProductScorer:
             if method == "approx":
                 # TPU PartialReduce: ~7x faster than exact lax.top_k at
                 # big catalogs (ops.topk_approx; docs/PERF_NOTES.md).
-                return jax.lax.approx_max_k(s, k,
-                                            recall_target=recall_target)
+                return jax.lax.approx_max_k(
+                    s, k, recall_target=recall_target or 0.99)
             return jax.lax.top_k(s, k)
 
         self._scores_fn = _scores
@@ -134,8 +134,11 @@ class CachedDotProductScorer:
         165k+ catalogs, ≥ recall_target expected recall, every returned
         score/id exact), or 'pallas' (the fused bucket-max kernel,
         ops/bucketed_topk.py — the scores never reach HBM; same guarantee
-        class as 'approx'; measured deltas in docs/PERF_NOTES.md).
-        `approx=True` is the backward-compatible spelling of
+        class as 'approx'). Measured rule (docs/PERF_NOTES.md +
+        benchmarks/retrieval_dtype.json): at recall_target ≥ 0.99 'approx'
+        is the faster route; 'pallas' with recall_target=None runs at its
+        native ratio-128 point (recall 0.96-0.99) and is then ~1.5×
+        'approx'. `approx=True` is the backward-compatible spelling of
         method='approx'."""
         if method is None:
             method = "approx" if approx else "exact"
