@@ -207,9 +207,23 @@ def pallas_score_topk(user_vecs, item_table, item_bias, k: int,
         bucket = max(1, min(int(bucket), int(I / max(l_min, 1.0))))
         while bucket & (bucket - 1):          # round down to power of two
             bucket &= bucket - 1
-    # Need L = 128 * ceil(I/(128*bucket)) >= k buckets; shrink the ratio
-    # (power of two) until satisfied. k <= 128 always passes.
-    while bucket > 1 and _LANES * -(-I // (_LANES * bucket)) < k:
+    # Need at least k NON-EMPTY buckets, else top_k over the [B, L]
+    # maxima returns padding lanes (ids >= I at -1e30) — counting the
+    # padded L = 128*ceil(I/(128*bucket)) is not enough when the tail
+    # block is short (e.g. I=16500, k=250, bucket=128: L=256 but only
+    # 244 buckets hold a real item). With n = ceil(I/item_block) grid
+    # blocks, the first n-1 are fully populated (128 lanes each) and the
+    # tail block populates min(I - (n-1)*item_block, 128) lanes. Shrink
+    # the ratio (power of two) until the real count meets k; at bucket=1
+    # the count equals I >= k (asserted above), so this terminates.
+    # bucket_max_scores' internal VMEM shrink only lowers the ratio
+    # further, which only increases the non-empty count — safe.
+    def _nonempty_buckets(ratio):
+        blk = _LANES * ratio
+        n = -(-I // blk)
+        return _LANES * (n - 1) + min(I - (n - 1) * blk, _LANES)
+
+    while bucket > 1 and _nonempty_buckets(bucket) < k:
         bucket //= 2
     vals, ids = bucket_max_scores(user_vecs, item_table, item_bias,
                                   bucket=bucket, item_tile=item_tile,

@@ -164,7 +164,9 @@ def make_parallel_device_sparse_train_step(model, table_specs, mesh,
 
     Returns (step_fn, init_fn):
       init_fn(rng) -> (params, opt_state, param_shardings)
-      step_fn(params, opt_state, rng) -> (params, opt_state, loss(es))
+      step_fn(params, opt_state, rng) -> (params, opt_state, losses[k])
+      (losses always has shape [steps_per_call], matching
+      make_parallel_device_train_step.)
     """
     from jax.sharding import PartitionSpec as P
 
@@ -208,8 +210,13 @@ def make_parallel_device_sparse_train_step(model, table_specs, mesh,
             return (params, opt_state), loss
 
         if steps_per_call == 1:
+            # No scan for the single-step giant-table path (XLA copies
+            # scan carries it cannot alias — docs/PERF_NOTES.md), but
+            # keep the return shape [k]-uniform with
+            # make_parallel_device_train_step so callers can always
+            # index losses[i].
             (params, opt_state), loss = body((params, opt_state), rng)
-            return params, opt_state, loss
+            return params, opt_state, loss[None]
         (params, opt_state), losses = jax.lax.scan(
             body, (params, opt_state),
             jax.random.split(rng, steps_per_call))

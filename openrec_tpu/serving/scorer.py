@@ -98,11 +98,16 @@ class CachedDotProductScorer:
         self._dirty32 = True
 
     def _extract_all(self, extract, total, params):
+        # Device-side concat: NO device→host fetch anywhere in the cache
+        # path. On the axon backend a single fetch permanently disables
+        # buffer donation for every later jitted call in the process
+        # (docs/PERF_NOTES.md "donation poisoning"), so a scorer used
+        # inside Trainer.evaluate(defer_metrics=True) must stay on device.
         outs = []
         for lo in range(0, total, self._bs):
             ids = jnp.arange(lo, min(lo + self._bs, total))
-            outs.append(np.asarray(extract(params, ids)))
-        return jnp.asarray(np.concatenate(outs, axis=0))
+            outs.append(extract(params, ids))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def cache(self, params):
         dt = self._serve_dtype

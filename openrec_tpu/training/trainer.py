@@ -318,7 +318,10 @@ class Trainer:
         arrays instead of numpy — no device→host fetch happens, so a
         surrounding giant-table training loop keeps its buffer donation
         (docs/PERF_NOTES.md "donation poisoning"). Fetch the returned
-        dict with jax.device_get(...) after the timed region."""
+        dict with jax.device_get(...) after the timed region. The scorer
+        path is safe under defer_metrics: CachedDotProductScorer's cache
+        re-extraction is fully device-resident (scorer.py _extract_all
+        concatenates on device, no np.asarray)."""
         acc = None
         if defer_metrics:
             assert dump_path is None, \

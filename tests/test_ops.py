@@ -120,6 +120,29 @@ def test_pallas_score_topk_exact_when_buckets_disjoint():
                                rtol=1e-5)
 
 
+def test_pallas_score_topk_large_k_short_tail_no_padding_ids():
+    """Regression (round-2 advisor): with k > 128 and a short tail grid
+    block, the padded bucket count L = 128*ceil(I/(128*bucket)) can meet
+    k while the NON-EMPTY count does not (I=1030, bucket=8: L=256 but
+    only 134 real buckets) — the guard must shrink the ratio on the real
+    count, or top_k returns padding ids >= I at -1e30."""
+    rng = np.random.default_rng(5)
+    B, I, D, k, bucket = 4, 1030, 8, 200, 8
+    u = rng.normal(size=(B, D)).astype(np.float32)
+    v = rng.normal(size=(I, D)).astype(np.float32)
+    got_v, got_i = pallas_score_topk(jnp.asarray(u), jnp.asarray(v),
+                                     None, k, bucket=bucket,
+                                     item_tile=256, user_block=8,
+                                     interpret=True)
+    got_v, got_i = np.asarray(got_v), np.asarray(got_i)
+    assert got_i.max() < I, got_i.max()            # no padding ids
+    assert got_v.min() > -1e29                     # no -1e30 sentinels
+    scores = u @ v.T
+    np.testing.assert_allclose(
+        np.take_along_axis(scores, got_i, axis=1), got_v,
+        rtol=1e-5, atol=1e-5)                      # every pair exact
+
+
 def test_pallas_score_topk_recall_on_random():
     """Random scores: recall vs the exact oracle must meet the
     approx_max_k-style expectation at this reduction ratio (I/bucket=64

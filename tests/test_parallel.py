@@ -295,14 +295,16 @@ def test_device_sparse_step_matches_single_device_oracle():
     rng = jax.random.PRNGKey(42)
     for i in range(3):
         rng, step_rng = jax.random.split(rng)
-        params, opt_state, loss = step_fn(params, opt_state, step_rng)
+        params, opt_state, losses = step_fn(params, opt_state, step_rng)
+        assert losses.shape == (1,)     # uniform [k] shape (advisor r2)
         r_sample, r_loss = jax.random.split(step_rng)
         shard_batches = [sampler.sample(jax.random.fold_in(r_sample, s))
                          for s in range(2)]
         batch = {k: jnp.concatenate([b[k] for b in shard_batches])
                  for k in shard_batches[0]}
         o_params, o_opt, o_loss = o_step(o_params, o_opt, batch, r_loss)
-        np.testing.assert_allclose(float(loss), float(o_loss), rtol=1e-5)
+        np.testing.assert_allclose(float(losses[0]), float(o_loss),
+                                   rtol=1e-5)
 
     for k in params:
         np.testing.assert_allclose(np.asarray(params[k]),
@@ -337,7 +339,8 @@ def test_parallel_trainer_device_sampled_sparse():
     tr = ParallelTrainer(model, mesh, lr=0.01, sparse_tables=specs)
     sampler = DevicePairwiseSampler(store, batch_size=8)
     before = np.asarray(tr.params["user_embed"]).copy()
-    loss = tr.train_steps_device(sampler, 1)
-    assert np.isfinite(float(loss))
+    losses = tr.train_steps_device(sampler, 1)
+    assert losses.shape == (1,)
+    assert np.isfinite(float(losses[0]))
     assert tr.global_step == 1
     assert not np.allclose(np.asarray(tr.params["user_embed"]), before)
