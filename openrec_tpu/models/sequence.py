@@ -43,6 +43,10 @@ class RNNRec(Recommender):
     num_units: int
     cell_type: str = "gru"
     softmax_samples: Optional[int] = None   # sampled softmax when set
+    # TF's sampled softmax defaults to the log-uniform (Zipf) candidate
+    # sampler (rnn_softmax.py:24-26 leaves sampled_values=None); 'uniform'
+    # is available for unranked catalogs.
+    softmax_sample_distribution: str = "log_uniform"
     l2_weight: float = 0.0
 
     @property
@@ -75,7 +79,8 @@ class RNNRec(Recommender):
             assert rng is not None, "sampled softmax needs an rng"
             task = sampled_softmax_loss(
                 rng, params["out_weight"], params["out_bias"], state,
-                batch["label"], num_sampled=self.softmax_samples)
+                batch["label"], num_sampled=self.softmax_samples,
+                distribution=self.softmax_sample_distribution)
         else:
             logits = state @ params["out_weight"].T + params["out_bias"]
             task = softmax_ce_loss(logits, batch["label"])

@@ -158,18 +158,67 @@ def softmax_ce_loss(logits, labels, reduction="mean"):
     return jnp.mean(per) if reduction == "mean" else jnp.sum(per)
 
 
+def log_uniform_logprob(ids, range_max: int):
+    """log P(id) under TF's log-uniform (Zipf) candidate distribution
+    (tf.random.log_uniform_candidate_sampler):
+    P(c) = (log(c+2) - log(c+1)) / log(range_max + 1)."""
+    c = ids.astype(jnp.float32)
+    return (jnp.log(jnp.log1p(1.0 / (c + 1.0)))
+            - jnp.log(jnp.log(float(range_max) + 1.0)))
+
+
+def log_uniform_sample(rng, num_sampled: int, range_max: int):
+    """Draw `num_sampled` ids (with replacement) from the log-uniform/Zipf
+    distribution via the inverse CDF — the same closed form TF's
+    RangeSampler::LogUniform uses: c = floor(exp(u·log(R+1))) - 1."""
+    u = jax.random.uniform(rng, (num_sampled,))
+    c = jnp.floor(jnp.exp(u * jnp.log(float(range_max) + 1.0))) - 1.0
+    return jnp.clip(c.astype(jnp.int32), 0, range_max - 1)
+
+
 def sampled_softmax_loss(rng, item_table, item_bias, hidden, labels,
-                         num_sampled: int):
-    """Sampled-softmax (tf1 rnn_softmax.py:27-31 uses
-    tf.nn.sampled_softmax_loss): uniform candidate sampling over the catalog,
-    true class always included; softmax CE over [true | sampled] candidates
-    with log-expected-count correction.
+                         num_sampled: int,
+                         distribution: str = "log_uniform",
+                         sampled_values=None):
+    """Sampled-softmax (tf1 rnn_softmax.py:24-26 calls TF's sampled
+    softmax loss with default candidate sampling): candidates drawn from
+    the catalog, true class always included; softmax CE over
+    [true | sampled] candidates with log-expected-count correction and
+    accidental-hit removal — tf.nn.sampled_softmax_loss semantics.
+
+    distribution: 'log_uniform' (DEFAULT — TF's default
+    log_uniform_candidate_sampler assumes ids are sorted by decreasing
+    frequency, i.e. a Zipf prior over popularity-ranked catalogs; this is
+    what the reference trains with) or 'uniform'. Sampling is with
+    replacement (TPU-friendly static shapes); expected counts are
+    S·P(class), the exact correction for with-replacement draws (TF's
+    unique=True correction 1-(1-p)^tries differs only at O(S·p) —
+    negligible for S ≪ I).
+
+    sampled_values: optional (sampled_ids [S], true_expected_count [B],
+    sampled_expected_count [S]) override — mirrors the TF argument; used
+    to pin candidates for parity tests or custom samplers.
 
     item_table: [I, D] output embedding; item_bias: [I] or [I, 1];
     hidden: [B, D]; labels: [B] int.
     """
     total_items = item_table.shape[0]
-    sampled = jax.random.randint(rng, (num_sampled,), 0, total_items)
+    if sampled_values is not None:
+        sampled, true_exp, samp_exp = sampled_values
+        sampled = jnp.asarray(sampled, jnp.int32)
+        true_logq = jnp.log(jnp.asarray(true_exp, jnp.float32))
+        samp_logq = jnp.log(jnp.asarray(samp_exp, jnp.float32))
+    elif distribution == "log_uniform":
+        sampled = log_uniform_sample(rng, num_sampled, total_items)
+        log_s = jnp.log(jnp.asarray(float(num_sampled), jnp.float32))
+        true_logq = log_s + log_uniform_logprob(labels, total_items)
+        samp_logq = log_s + log_uniform_logprob(sampled, total_items)
+    elif distribution == "uniform":
+        sampled = jax.random.randint(rng, (num_sampled,), 0, total_items)
+        logq = jnp.log(jnp.asarray(num_sampled / total_items, jnp.float32))
+        true_logq = samp_logq = logq
+    else:
+        raise ValueError(f"unknown candidate distribution {distribution!r}")
     bias = jnp.reshape(item_bias, (-1,))
 
     true_w = jnp.take(item_table, labels, axis=0)             # [B, D]
@@ -177,10 +226,8 @@ def sampled_softmax_loss(rng, item_table, item_bias, hidden, labels,
     sampled_w = jnp.take(item_table, sampled, axis=0)         # [S, D]
     sampled_logit = hidden @ sampled_w.T + bias[sampled]      # [B, S]
 
-    # Expected-count correction under uniform sampling: Q = S / I.
-    logq = jnp.log(jnp.asarray(num_sampled / total_items, jnp.float32))
-    true_logit = true_logit - logq
-    sampled_logit = sampled_logit - logq
+    true_logit = true_logit - true_logq
+    sampled_logit = sampled_logit - jnp.reshape(samp_logq, (1, -1))
     # Remove accidental hits of the true class among candidates.
     hit = sampled[None, :] == labels[:, None]
     sampled_logit = jnp.where(hit, -1e9, sampled_logit)

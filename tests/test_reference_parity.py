@@ -245,3 +245,93 @@ def test_dlrm_loss_and_adam_step_match_reference():
                                top[0][0].numpy(), rtol=2e-4, atol=2e-6)
     np.testing.assert_allclose(np.asarray(ours2["mlp_bot"][-1]["b"]),
                                bot[-1][1].numpy(), rtol=2e-4, atol=2e-6)
+
+
+def test_sampled_softmax_matches_tf_sampled_softmax_loss():
+    """tf.nn.sampled_softmax_loss parity (the reference's sampled-softmax
+    path, tf1 interactions/rnn_softmax.py:24-26): pin the candidate set +
+    expected counts via sampled_values on BOTH sides and require
+    identical loss AND identical gradients w.r.t. weights/bias/inputs."""
+    from openrec_tpu.modules.losses import (log_uniform_logprob,
+                                            log_uniform_sample,
+                                            sampled_softmax_loss)
+
+    I, D, B, S = 200, 12, 16, 32
+    r = np.random.default_rng(11)
+    w = r.normal(size=(I, D)).astype(np.float32) * 0.3
+    b = r.normal(size=(I,)).astype(np.float32) * 0.1
+    h = r.normal(size=(B, D)).astype(np.float32)
+    labels = r.integers(0, I, B).astype(np.int32)
+
+    sampled = np.array(log_uniform_sample(jax.random.PRNGKey(3), S, I))
+    # include a guaranteed accidental hit so that path is exercised too
+    sampled[0] = labels[0]
+    p_true = np.exp(np.asarray(log_uniform_logprob(jnp.asarray(labels), I)))
+    p_samp = np.exp(np.asarray(log_uniform_logprob(jnp.asarray(sampled), I)))
+    true_exp, samp_exp = S * p_true, S * p_samp
+
+    # ---- TF side (explicit sampled_values → fully deterministic)
+    wv = tf.Variable(w); bv = tf.Variable(b); hv = tf.Variable(h)
+    sv = (tf.constant(sampled.astype(np.int64)),
+          tf.constant(true_exp.reshape(B, 1)),
+          tf.constant(samp_exp))
+    with tf.GradientTape() as tape:
+        per = tf.nn.sampled_softmax_loss(
+            weights=wv, biases=bv,
+            labels=tf.constant(labels.astype(np.int64)[:, None]),
+            inputs=hv, num_sampled=S, num_classes=I,
+            sampled_values=sv, remove_accidental_hits=True)
+        loss_tf = tf.reduce_mean(per)
+    g_tf = tape.gradient(loss_tf, [wv, bv, hv])
+    g_w = tf.convert_to_tensor(g_tf[0]).numpy()
+    g_b = tf.convert_to_tensor(g_tf[1]).numpy()
+    g_h = g_tf[2].numpy()
+
+    # ---- ours (same pinned sampled_values)
+    def ours(params):
+        return sampled_softmax_loss(
+            None, params["w"], params["b"], params["h"],
+            jnp.asarray(labels), S,
+            sampled_values=(jnp.asarray(sampled), jnp.asarray(true_exp),
+                            jnp.asarray(samp_exp)))
+
+    params = {"w": jnp.asarray(w), "b": jnp.asarray(b), "h": jnp.asarray(h)}
+    loss_ours, g_ours = jax.value_and_grad(ours)(params)
+
+    np.testing.assert_allclose(float(loss_ours), float(loss_tf), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_ours["w"]), g_w,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_ours["b"]), g_b,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_ours["h"]), g_h,
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_log_uniform_sampler_matches_tf_distribution():
+    """Our Zipf probability formula must equal TF's
+    log_uniform_candidate_sampler expected counts (unique=False:
+    E[count] = S·P(c)), and our inverse-CDF sampler's empirical
+    frequencies must match that distribution."""
+    from openrec_tpu.modules.losses import (log_uniform_logprob,
+                                            log_uniform_sample)
+
+    I, S = 1000, 25
+    classes = np.arange(0, I, 7, dtype=np.int64)
+    _, true_exp, _ = tf.random.log_uniform_candidate_sampler(
+        true_classes=classes[:, None], num_true=1, num_sampled=S,
+        unique=False, range_max=I, seed=1)
+    p_tf = true_exp.numpy().reshape(-1) / S
+    p_ours = np.exp(np.asarray(
+        log_uniform_logprob(jnp.asarray(classes), I)))
+    np.testing.assert_allclose(p_ours, p_tf, rtol=1e-5)
+
+    # empirical check of the sampler itself (with-replacement draws)
+    n = 200_000
+    draws = np.asarray(log_uniform_sample(jax.random.PRNGKey(0), n, I))
+    assert draws.min() >= 0 and draws.max() < I
+    # head classes carry most mass — compare their empirical frequency
+    for c in [0, 1, 2, 5, 10, 50]:
+        p = np.exp(float(log_uniform_logprob(jnp.asarray(c), I)))
+        emp = float(np.mean(draws == c))
+        se = np.sqrt(p * (1 - p) / n)
+        assert abs(emp - p) < 6 * se + 1e-4, (c, emp, p)
