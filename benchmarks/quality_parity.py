@@ -1,10 +1,33 @@
 """Quality parity AT REFERENCE SCALE: our models vs the reference's
 TF/Keras math, trained on the SAME synthetic dataset at the CiteULike
 config (5,551 users x 16,980 items — tf2_examples/dataloader.py:22-23),
-fed by the SAME sampler streams, with the SAME hyperparameters
-(dim_embed=50, batch=1000, Adam 1e-3 — tf2_examples/bpr_citeulike.py:
-12-15), evaluated with the SAME (reference-semantics) metrics at the
-SAME iteration checkpoints.
+from the SAME INITIAL PARAMETERS, fed by the SAME sampler streams, with
+the SAME hyperparameters (dim_embed=50, batch=1000, Adam 1e-3 —
+tf2_examples/bpr_citeulike.py:12-15), evaluated with the SAME
+(reference-semantics) metrics at the SAME iteration checkpoints —
+including the PRE-PLATEAU regime (iters 250-5000) where trajectories
+still discriminate between implementations.
+
+Round-3 protocol (after root-causing the round-2 UCML gap):
+- Ours trains with `keras_adam` (training/optim.py) — the empirically
+  probed TF/Keras Adam trajectory semantics: moments decay and apply
+  DENSELY, so previously-touched embedding rows keep moving by residual
+  momentum while absent from the batch. (`lazy_adam`, our production
+  default, freezes untouched rows — identical per-step, different over
+  trajectories; it was the primary cause of round 2's UCML deviation.)
+- The reference is run in BOTH sparse-gradient modes:
+    * ref_dedup:  IndexedSlices dedup-summed before apply — the
+      TF<=2.x / reference-era semantics, and exactly what JAX's dense
+      autodiff gradients produce. Ours must (and does) match this
+      trajectory to fp precision at every checkpoint.
+    * ref_keras3: keras 3 as installed applies the raw per-slice
+      IndexedSlices (v accumulates sum(g_i^2) instead of (sum g_i)^2 on
+      duplicate ids). The ref_keras3-vs-ref_dedup gap measures the
+      reference's OWN drift across its framework's versions — the noise
+      floor any cross-framework comparison must be judged against.
+- UCML/WRMF variance bands: an ours run with a different init+stream
+  seed, and a ref_dedup run with fp-sized (1e-7) init perturbation,
+  calibrate seed- and fp-level spread.
 
 Covers every BASELINE.md parity target: BPR, WRMF, UCML (incl. post-step
 censoring), GMF at CiteULike scale, and DLRM at the reference's Criteo
@@ -15,7 +38,7 @@ the *training trajectories* agree too.
 
 Writes benchmarks/quality_parity.json incrementally:
   {model: {"ours": {"curve": [...], "final": {...}},
-           "reference": {...}}, ...}
+           "ref_dedup": {...}, "ref_keras3": {...}, ...}, ...}
 
 Run on CPU (forced below) so both frameworks share the hardware and the
 benchmark never contends for the TPU chip. Takes ~1h on the 2-vCPU host;
@@ -49,15 +72,19 @@ TOY = os.environ.get("OPENREC_PARITY_SCALE") == "toy"
 if TOY:
     USERS, ITEMS, RANK, PER_USER = 200, 800, 8, 30
     DIM, BATCH, LR = 32, 512, 0.001
-    ITERS, EVAL_EVERY = 1000, 500
+    CKPTS = (100, 250, 500, 1000)
     DLRM_ITERS, DLRM_BATCH, DLRM_EVAL_EVERY = 100, 256, 50
 else:
     # CiteULike scale + the reference example's exact hyperparameters.
     USERS, ITEMS, RANK, PER_USER = 5551, 16980, 12, 36
     DIM, BATCH, LR = 50, 1000, 0.001
-    ITERS, EVAL_EVERY = 30000, 5000
+    # Checkpoints cover the PRE-PLATEAU regime (250-5000, where the
+    # trajectories still discriminate between implementations — the
+    # round-2 verdict's point) plus the plateau for final-value parity.
+    CKPTS = (250, 500, 1000, 2000, 5000, 10000, 20000, 30000)
     # reference dlrm_criteo.py trains exactly 1000 batches of 1024
     DLRM_ITERS, DLRM_BATCH, DLRM_EVAL_EVERY = 1000, 1024, 250
+ITERS = CKPTS[-1]
 AT = (50, 100)
 SEED = 0
 OUT_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -113,7 +140,9 @@ def _datasets(train_data, test_data):
             Dataset(test_data, USERS, ITEMS, seed=SEED))
 
 
-def _batches(train_ds, kind):
+def _batches(train_ds, kind, sampler_seed=None):
+    if sampler_seed is not None:
+        train_ds._seed = sampler_seed
     if kind == "pairwise":
         return iter(train_ds.pairwise(batch_size=BATCH))
     return iter(train_ds.stratified_pointwise(batch_size=BATCH,
@@ -124,15 +153,53 @@ def _log(msg):
     print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+# ------------------------------------------------------- shared inits
+
+def make_inits(seed=99, perturb=0.0):
+    """The initial parameter arrays BOTH frameworks start from: keras
+    'uniform' embeddings (+-0.05), zero biases, glorot-uniform GMF
+    weight. perturb: add N(0, perturb) noise (fp-sensitivity control)."""
+    r = np.random.default_rng(seed)
+    limit = np.sqrt(6.0 / (DIM + 1))
+    inits = {
+        "user_embed": r.uniform(-0.05, 0.05, (USERS, DIM))
+        .astype(np.float32),
+        "item_embed": r.uniform(-0.05, 0.05, (ITEMS, DIM))
+        .astype(np.float32),
+        "item_bias": np.zeros((ITEMS, 1), np.float32),
+        "gmf_w": r.uniform(-limit, limit, (DIM, 1)).astype(np.float32),
+    }
+    if perturb:
+        rp = np.random.default_rng(seed + 1000)
+        inits = {k: (v + rp.normal(0, perturb, v.shape)
+                     .astype(np.float32)) if v.size else v
+                 for k, v in inits.items()}
+    return inits
+
+
 # ---------------------------------------------------------------- ours
 
-def run_ours(model, sampler_kind, train_data, test_data):
+def run_ours(model, sampler_kind, train_data, test_data, inits,
+             sampler_seed=SEED, optimizer="keras"):
+    """Train ours from the shared inits with keras_adam (trajectory-
+    exact reference semantics) or lazy_adam (production default)."""
     import jax.numpy as jnp
     from openrec_tpu.training import Trainer
+    from openrec_tpu.training.optim import keras_adam
 
     train_ds, test_ds = _datasets(train_data, test_data)
-    tr = Trainer(model, lr=LR, seed=SEED)
-    batches = _batches(train_ds, sampler_kind)
+    tx = keras_adam(LR) if optimizer == "keras" else None
+    tr = Trainer(model, optimizer=tx, lr=LR, seed=SEED)
+    params = dict(tr.params)
+    params["user_embed"] = jnp.asarray(inits["user_embed"])
+    params["item_embed"] = jnp.asarray(inits["item_embed"])
+    params["item_bias"] = jnp.asarray(inits["item_bias"])
+    if "mlp" in params:
+        params["mlp"] = [{"w": jnp.asarray(inits["gmf_w"])}]
+    tr.params = params
+    tr.opt_state = tr.tx.init(tr.params)
+    train_ds._seed = sampler_seed
+    batches = _batches(train_ds, sampler_kind, sampler_seed)
 
     def score_rows(users):
         return np.asarray(
@@ -141,7 +208,7 @@ def run_ours(model, sampler_kind, train_data, test_data):
     curve = []
     for it in range(1, ITERS + 1):
         tr.train_step(next(batches))
-        if it % EVAL_EVERY == 0:
+        if it in CKPTS:
             m = eval_ours_style(score_rows, train_ds.store, test_ds.store)
             curve.append({"iter": it, **m})
             _log(f"  ours iter {it}: {m}")
@@ -151,16 +218,25 @@ def run_ours(model, sampler_kind, train_data, test_data):
 # ------------------------------------------------------------- reference
 # Each runner states the reference's training computation in TF/Keras
 # exactly as openrec/tf2 defines it (see file:line cites), fed by the same
-# sampler streams as ours.
+# sampler streams as ours, from the same shared inits.
 
-def _tf_embeds(seed_u=1, seed_i=2):
+def _tf_embeds(inits):
     import tensorflow as tf
-    user_lf = tf.Variable(np.random.default_rng(seed_u).uniform(
-        -0.05, 0.05, (USERS, DIM)).astype(np.float32))
-    item_lf = tf.Variable(np.random.default_rng(seed_i).uniform(
-        -0.05, 0.05, (ITEMS, DIM)).astype(np.float32))
-    item_b = tf.Variable(np.zeros((ITEMS, 1), np.float32))
+    user_lf = tf.Variable(inits["user_embed"].copy())
+    item_lf = tf.Variable(inits["item_embed"].copy())
+    item_b = tf.Variable(inits["item_bias"].copy())
     return user_lf, item_lf, item_b
+
+
+def _maybe_dedup(grads, grad_mode):
+    """grad_mode='dedup': convert IndexedSlices to dense (dedup-summed)
+    tensors before apply — the TF<=2.x era sparse-Adam semantics, and
+    exactly what JAX autodiff hands our optimizer. 'keras3': leave the
+    per-slice IndexedSlices for keras 3's own handling."""
+    import tensorflow as tf
+    if grad_mode == "dedup":
+        return [tf.convert_to_tensor(g) for g in grads]
+    return grads
 
 
 def _ref_curve(step, batches, batch_keys, score_rows, train_store,
@@ -172,21 +248,21 @@ def _ref_curve(step, batches, batch_keys, score_rows, train_store,
     for it in range(1, ITERS + 1):
         b = next(batches)
         step(*[tf.constant(b[k]) for k in batch_keys])
-        if it % EVAL_EVERY == 0:
+        if it in CKPTS:
             m = eval_ours_style(score_rows, train_store, test_store)
             curve.append({"iter": it, **m})
             _log(f"  {tag} iter {it}: {m}")
     return {"curve": curve, "final": curve[-1]}
 
 
-def run_reference_bpr(train_data, test_data, seeds=(1, 2),
-                      sampler_seed=SEED):
+def run_reference_bpr(train_data, test_data, inits, grad_mode="keras3",
+                      sampler_seed=SEED, tag="ref-bpr"):
     """openrec/tf2/recommenders/bpr.py:21-37 + joint l2, keras Adam."""
     import tensorflow as tf
 
     train_ds, test_ds = _datasets(train_data, test_data)
     train_ds._seed = sampler_seed
-    user_lf, item_lf, item_b = _tf_embeds(*seeds)
+    user_lf, item_lf, item_b = _tf_embeds(inits)
     opt = tf.keras.optimizers.Adam(LR)
 
     @tf.function
@@ -204,6 +280,7 @@ def run_reference_bpr(train_data, test_data, seeds=(1, 2),
             total = loss + tf.nn.l2_loss(u) + tf.nn.l2_loss(p) \
                 + tf.nn.l2_loss(n)
         grads = tape.gradient(total, [user_lf, item_lf, item_b])
+        grads = _maybe_dedup(grads, grad_mode)
         opt.apply_gradients(zip(grads, [user_lf, item_lf, item_b]))
 
     def score_rows(users):
@@ -215,16 +292,17 @@ def run_reference_bpr(train_data, test_data, seeds=(1, 2),
     batches = iter(PairwiseSampler(train_ds.store, BATCH,
                                    seed=sampler_seed))
     return _ref_curve(step, batches, ("user_id", "p_item_id", "n_item_id"),
-                      score_rows, train_ds.store, test_ds.store, "ref-bpr")
+                      score_rows, train_ds.store, test_ds.store, tag)
 
 
-def run_reference_wrmf(train_data, test_data, a=2.0, b=0.3):
+def run_reference_wrmf(train_data, test_data, inits, grad_mode="keras3",
+                       sampler_seed=SEED, tag="ref-wrmf", a=2.0, b=0.3):
     """openrec/tf2/recommenders/wrmf.py:5-40 with
     pointwise_mse_loss.py:4-31 (weight outside the square)."""
     import tensorflow as tf
 
     train_ds, test_ds = _datasets(train_data, test_data)
-    user_lf, item_lf, item_b = _tf_embeds()
+    user_lf, item_lf, item_b = _tf_embeds(inits)
     opt = tf.keras.optimizers.Adam(LR)
 
     @tf.function
@@ -238,6 +316,7 @@ def run_reference_wrmf(train_data, test_data, a=2.0, b=0.3):
             loss = tf.reduce_sum(w * tf.square(label - pred))
             total = loss + tf.nn.l2_loss(u) + tf.nn.l2_loss(it)
         grads = tape.gradient(total, [user_lf, item_lf, item_b])
+        grads = _maybe_dedup(grads, grad_mode)
         opt.apply_gradients(zip(grads, [user_lf, item_lf, item_b]))
 
     def score_rows(users):
@@ -245,13 +324,13 @@ def run_reference_wrmf(train_data, test_data, a=2.0, b=0.3):
         bias = item_b.numpy().reshape(-1)
         return U[users] @ V.T + bias[None, :]
 
-    batches = _batches(train_ds, "pointwise")
+    batches = _batches(train_ds, "pointwise", sampler_seed)
     return _ref_curve(step, batches, ("user_id", "item_id", "label"),
-                      score_rows, train_ds.store, test_ds.store, "ref-wrmf")
+                      score_rows, train_ds.store, test_ds.store, tag)
 
 
-def run_reference_ucml(train_data, test_data, margin=0.5, seeds=(1, 2),
-                       sampler_seed=SEED):
+def run_reference_ucml(train_data, test_data, inits, grad_mode="keras3",
+                       sampler_seed=SEED, tag="ref-ucml", margin=0.5):
     """openrec/tf2/recommenders/ucml.py:29-48: hinge on -‖u-v‖²+b with
     post-step unit-ball censoring of the touched rows (censor_vec →
     latent_factor.py:17-23)."""
@@ -259,7 +338,7 @@ def run_reference_ucml(train_data, test_data, margin=0.5, seeds=(1, 2),
 
     train_ds, test_ds = _datasets(train_data, test_data)
     train_ds._seed = sampler_seed
-    user_lf, item_lf, item_b = _tf_embeds(*seeds)
+    user_lf, item_lf, item_b = _tf_embeds(inits)
     opt = tf.keras.optimizers.Adam(LR)
 
     def censor(var, ids):
@@ -284,6 +363,7 @@ def run_reference_ucml(train_data, test_data, margin=0.5, seeds=(1, 2),
             total = loss + tf.nn.l2_loss(u) + tf.nn.l2_loss(p) \
                 + tf.nn.l2_loss(n)
         grads = tape.gradient(total, [user_lf, item_lf, item_b])
+        grads = _maybe_dedup(grads, grad_mode)
         opt.apply_gradients(zip(grads, [user_lf, item_lf, item_b]))
         censor(user_lf, uid)
         censor(item_lf, tf.concat([pid, nid], 0))
@@ -295,21 +375,20 @@ def run_reference_ucml(train_data, test_data, margin=0.5, seeds=(1, 2),
         return (2.0 * (u @ V.T) - np.sum(u ** 2, 1, keepdims=True)
                 - np.sum(V ** 2, 1)[None, :] + bias[None, :])
 
-    batches = _batches(train_ds, "pairwise")
+    batches = _batches(train_ds, "pairwise", sampler_seed)
     return _ref_curve(step, batches, ("user_id", "p_item_id", "n_item_id"),
-                      score_rows, train_ds.store, test_ds.store, "ref-ucml")
+                      score_rows, train_ds.store, test_ds.store, tag)
 
 
-def run_reference_gmf(train_data, test_data):
+def run_reference_gmf(train_data, test_data, inits, grad_mode="keras3",
+                      sampler_seed=SEED, tag="ref-gmf"):
     """openrec/tf2/recommenders/gmf.py:5-41: logit = Dense_1(u⊙v)+b_i
     (single linear unit, no bias), BCE-from-logits."""
     import tensorflow as tf
 
     train_ds, test_ds = _datasets(train_data, test_data)
-    user_lf, item_lf, item_b = _tf_embeds()
-    limit = np.sqrt(6.0 / (DIM + 1))
-    w = tf.Variable(np.random.default_rng(3).uniform(
-        -limit, limit, (DIM, 1)).astype(np.float32))
+    user_lf, item_lf, item_b = _tf_embeds(inits)
+    w = tf.Variable(inits["gmf_w"].copy())
     opt = tf.keras.optimizers.Adam(LR)
     bce = tf.keras.losses.BinaryCrossentropy(from_logits=True)
 
@@ -324,6 +403,7 @@ def run_reference_gmf(train_data, test_data):
             total = loss + tf.nn.l2_loss(u) + tf.nn.l2_loss(it) \
                 + tf.nn.l2_loss(w)
         grads = tape.gradient(total, [user_lf, item_lf, item_b, w])
+        grads = _maybe_dedup(grads, grad_mode)
         opt.apply_gradients(zip(grads, [user_lf, item_lf, item_b, w]))
 
     def score_rows(users):
@@ -332,9 +412,9 @@ def run_reference_gmf(train_data, test_data):
         wv = w.numpy()[:, 0]
         return (U[users] * wv[None, :]) @ V.T + bias[None, :]
 
-    batches = _batches(train_ds, "pointwise")
+    batches = _batches(train_ds, "pointwise", sampler_seed)
     return _ref_curve(step, batches, ("user_id", "item_id", "label"),
-                      score_rows, train_ds.store, test_ds.store, "ref-gmf")
+                      score_rows, train_ds.store, test_ds.store, tag)
 
 
 # ------------------------------------------------------------------ DLRM
@@ -381,14 +461,49 @@ def _auc_np(y_true, y_score):
                   - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
 
 
-def run_ours_dlrm(train, val):
+def make_dlrm_inits():
+    """Shared DLRM initial parameters (numpy) for both frameworks:
+    uniform(+-0.05) tables, glorot dense layers, zero biases."""
+    rng = np.random.default_rng(1)
+    tables = [rng.uniform(-0.05, 0.05, (c, DLRM_DIM)).astype(np.float32)
+              for c in DLRM_EMB]
+
+    def dense_layer(n_in, n_out, seed):
+        limit = np.sqrt(6.0 / (n_in + n_out))
+        r = np.random.default_rng(seed)
+        return (r.uniform(-limit, limit, (n_in, n_out)).astype(np.float32),
+                np.zeros((n_out,), np.float32))
+
+    bot, n_in = [], DLRM_DENSE
+    for k, n_out in enumerate(DLRM_BOT):
+        bot.append(dense_layer(n_in, n_out, 100 + k))
+        n_in = n_out
+    n_sparse = len(DLRM_EMB) + 1
+    n_inter = n_sparse * (n_sparse - 1) // 2
+    top, n_in = [], DLRM_BOT[-1] + n_inter
+    for k, n_out in enumerate(DLRM_TOP):
+        top.append(dense_layer(n_in, n_out, 200 + k))
+        n_in = n_out
+    return {"tables": tables, "bot": bot, "top": top}
+
+
+def run_ours_dlrm(train, val, inits):
     import jax.numpy as jnp
     from openrec_tpu.models import DLRM
     from openrec_tpu.training import Trainer
+    from openrec_tpu.training.optim import keras_adam
 
     model = DLRM(m_spa=DLRM_DIM, ln_emb=DLRM_EMB, ln_bot=DLRM_BOT,
                  ln_top=DLRM_TOP, dim_dense=DLRM_DENSE, loss_func="bce")
-    tr = Trainer(model, lr=LR, seed=SEED)
+    tr = Trainer(model, optimizer=keras_adam(LR), lr=LR, seed=SEED)
+    tr.params = {
+        "embed_tables": [jnp.asarray(t) for t in inits["tables"]],
+        "mlp_bot": [{"w": jnp.asarray(w), "b": jnp.asarray(b)}
+                    for w, b in inits["bot"]],
+        "mlp_top": [{"w": jnp.asarray(w), "b": jnp.asarray(b)}
+                    for w, b in inits["top"]],
+    }
+    tr.opt_state = tr.tx.init(tr.params)
     predict = jax.jit(model.predict)
 
     def val_auc():
@@ -413,33 +528,19 @@ def run_ours_dlrm(train, val):
     return {"curve": curve, "final": curve[-1]}
 
 
-def run_reference_dlrm(train, val):
+def run_reference_dlrm(train, val, inits, grad_mode="keras3",
+                       tag="ref-dlrm"):
     """openrec/tf2/recommenders/dlrm.py:6-100 restated: per-table uniform
     embeddings, bottom MLP (relu out), dot interaction over
     [sparse..., dense_emb], top MLP (sigmoid out), BCE, keras Adam."""
     import tensorflow as tf
 
-    rng = np.random.default_rng(1)
-    tables = [tf.Variable(rng.uniform(-0.05, 0.05, (c, DLRM_DIM))
-                          .astype(np.float32)) for c in DLRM_EMB]
-
-    def dense_layer(n_in, n_out, seed):
-        limit = np.sqrt(6.0 / (n_in + n_out))
-        r = np.random.default_rng(seed)
-        return (tf.Variable(r.uniform(-limit, limit, (n_in, n_out))
-                            .astype(np.float32)),
-                tf.Variable(np.zeros((n_out,), np.float32)))
-
-    bot, n_in = [], DLRM_DENSE
-    for k, n_out in enumerate(DLRM_BOT):
-        bot.append(dense_layer(n_in, n_out, 100 + k))
-        n_in = n_out
+    tables = [tf.Variable(t.copy()) for t in inits["tables"]]
+    bot = [(tf.Variable(w.copy()), tf.Variable(b.copy()))
+           for w, b in inits["bot"]]
+    top = [(tf.Variable(w.copy()), tf.Variable(b.copy()))
+           for w, b in inits["top"]]
     n_sparse = len(DLRM_EMB) + 1
-    n_inter = n_sparse * (n_sparse - 1) // 2
-    top, n_in = [], DLRM_BOT[-1] + n_inter
-    for k, n_out in enumerate(DLRM_TOP):
-        top.append(dense_layer(n_in, n_out, 200 + k))
-        n_in = n_out
 
     variables = tables + [v for w, b in bot + top for v in (w, b)]
     opt = tf.keras.optimizers.Adam(LR)
@@ -471,6 +572,7 @@ def run_reference_dlrm(train, val):
         with tf.GradientTape() as tape:
             loss = bce(y_true=label, y_pred=forward(dense, sparse))
         grads = tape.gradient(loss, variables)
+        grads = _maybe_dedup(grads, grad_mode)
         opt.apply_gradients(zip(grads, variables))
 
     def val_auc():
@@ -492,7 +594,7 @@ def run_reference_dlrm(train, val):
         if it % DLRM_EVAL_EVERY == 0:
             m = {"iter": it, "AUC": val_auc()}
             curve.append(m)
-            _log(f"  ref-dlrm iter {it}: {m}")
+            _log(f"  {tag} iter {it}: {m}")
     return {"curve": curve, "final": curve[-1]}
 
 
@@ -534,27 +636,61 @@ def main():
                     dim_user_embed=DIM, dim_item_embed=DIM),
                 "pointwise", run_reference_gmf),
     }
+    inits = make_inits()
     for name, (model, kind, ref_fn) in runs.items():
-        _log(f"=== {name}: ours ===")
-        ours = run_ours(model, kind, train_data, test_data)
-        out[name] = {"ours": ours}
+        _log(f"=== {name}: ours (keras_adam, shared init) ===")
+        out[name] = {"ours": run_ours(model, kind, train_data, test_data,
+                                      inits)}
         _write(out)
-        _log(f"=== {name}: reference ===")
-        out[name]["reference"] = ref_fn(train_data, test_data)
+        _log(f"=== {name}: reference (era/dedup grads) ===")
+        out[name]["ref_dedup"] = ref_fn(train_data, test_data, inits,
+                                        grad_mode="dedup",
+                                        tag=f"ref-{name}-dedup")
+        _write(out)
+        _log(f"=== {name}: reference (keras 3 per-slice grads) ===")
+        out[name]["ref_keras3"] = ref_fn(train_data, test_data, inits,
+                                         grad_mode="keras3",
+                                         tag=f"ref-{name}-keras3")
         _write(out)
 
-    # run-to-run variance of the reference itself (different init +
-    # sampler seeds) to calibrate what "within variance" means
-    _log("=== BPR: reference seed-variance run ===")
-    out["BPR"]["reference_seed2"] = run_reference_bpr(
-        train_data, test_data, seeds=(11, 12), sampler_seed=SEED + 7)
+    # Variance bands for the two models whose round-2 curves were still
+    # moving: ours under a different init+stream seed, and the reference
+    # under an fp-sized (1e-7) init perturbation — the scale any
+    # remaining ours-vs-reference difference must be judged against.
+    for name in ("UCML", "WRMF"):
+        model, kind, ref_fn = runs[name]
+        _log(f"=== {name}: ours seed-variance run ===")
+        out[name]["ours_seed2"] = run_ours(
+            model, kind, train_data, test_data, make_inits(seed=123),
+            sampler_seed=SEED + 7)
+        _write(out)
+        _log(f"=== {name}: reference fp-perturbation run ===")
+        out[name]["ref_dedup_fp_perturbed"] = ref_fn(
+            train_data, test_data, make_inits(perturb=1e-7),
+            grad_mode="dedup", tag=f"ref-{name}-fp")
+        _write(out)
+
+    # The production path (lazy_adam) on the noisiest target — records
+    # the size of the lazy-vs-keras trajectory deviation (root cause of
+    # the round-2 UCML gap) against the bands above.
+    _log("=== UCML: ours with production lazy_adam ===")
+    model, kind, _ = runs["UCML"]
+    out["UCML"]["ours_lazy_adam"] = run_ours(
+        model, kind, train_data, test_data, inits, optimizer="lazy")
     _write(out)
 
-    _log("=== DLRM ===")
+    _log("=== DLRM (shared init) ===")
+    dlrm_inits = make_dlrm_inits()
     dlrm_train, dlrm_val = make_ctr_data()
-    out["DLRM"] = {"ours": run_ours_dlrm(dlrm_train, dlrm_val)}
+    out["DLRM"] = {"ours": run_ours_dlrm(dlrm_train, dlrm_val, dlrm_inits)}
     _write(out)
-    out["DLRM"]["reference"] = run_reference_dlrm(dlrm_train, dlrm_val)
+    out["DLRM"]["ref_dedup"] = run_reference_dlrm(
+        dlrm_train, dlrm_val, dlrm_inits, grad_mode="dedup",
+        tag="ref-dlrm-dedup")
+    _write(out)
+    out["DLRM"]["ref_keras3"] = run_reference_dlrm(
+        dlrm_train, dlrm_val, dlrm_inits, grad_mode="keras3",
+        tag="ref-dlrm-keras3")
     _write(out)
     _log(f"wrote {OUT_PATH}")
 

@@ -1,21 +1,36 @@
 """Optimizers tuned for embedding-table workloads.
 
-`lazy_adam` reproduces TF/Keras Adam's *sparse-gradient* semantics (the
-reference's training path: keras `optimizers.Adam()` receives IndexedSlices
-from embedding lookups and updates only the touched rows — moments and
-parameters of untouched rows stay put). Dense optax Adam would instead keep
-moving every row of every table on every step, which (a) breaks projection
-invariants the model zoo relies on (CML censoring) and (b) wastes HBM
-bandwidth proportional to |catalog| instead of |batch|.
+Two Adams, one trade-off (measured against TF — see
+tests/test_optim.py trajectory tests):
 
-Semantics per leaf with ndim ≥ 2 (tables): a row participates iff its
-gradient row is nonzero. Bias correction uses the global step (same choice
-as tensorflow_addons LazyAdam). 1-D/scalar leaves get standard dense Adam.
+`keras_adam` reproduces TF/Keras Adam's EXACT trajectory semantics on
+sparse (embedding-lookup) gradients. Empirically probed against keras
+(TF 2.21) and consistent with the reference era's optimizer_v2 source:
+TF scatter-adds the gradient slices into m and v but DECAYS AND APPLIES
+DENSELY — every previously-touched row keeps moving by residual momentum
+-α·m/(√v+ε) on every later step, even when absent from the batch (and a
+present-with-zero-grad row behaves identically to an absent one). With
+duplicate ids in one batch, TF ≤ 2.x first dedup-summed the slices
+((Σg)² into v — matching the dense gradients JAX autodiff produces),
+while keras 3 accumulates per-slice (Σg²) — a second-order difference
+confined to duplicate rows.  Use this for trajectory-level parity with
+the reference (benchmarks/quality_parity.py).
 
-The masked form still materializes dense zero-gradients (XLA fuses the
-mask into the scatter, so no extra HBM pass); the gather/scatter unique-id
-fast path lives in `sparse_embedding_step` below (used when the batch's
-touched-id set is available).
+`lazy_adam` updates only rows with nonzero gradient — untouched rows'
+moments and parameters stay put (tensorflow_addons LazyAdam semantics).
+Identical to keras_adam on any SINGLE step from fresh moments; diverges
+over trajectories (untouched rows keep drifting under keras_adam). Lazy
+is the production default because it (a) preserves projection
+invariants between touches (CML censoring), (b) costs O(batch) instead
+of O(catalog) HBM bandwidth per step — at giant-table scale the dense
+apply is unrunnable (docs/PERF_NOTES.md), and (c) is the standard
+sparse-embedding training semantics outside TF.
+
+Both use the keras formulation: bias correction folded into the step
+size, eps OUTSIDE the corrected sqrt. The masked lazy form still
+materializes dense zero-gradients (XLA fuses the mask into the scatter);
+the gather/scatter unique-id fast path lives in `sparse_embedding_step`
+(training/sparse.py, used when the batch's touched-id set is available).
 """
 
 from __future__ import annotations
@@ -80,6 +95,37 @@ def lazy_adam(learning_rate: float = 1e-3, b1: float = 0.9,
                                                [o[0] for o in out])
         mu = jax.tree_util.tree_unflatten(treedef, [o[1] for o in out])
         nu = jax.tree_util.tree_unflatten(treedef, [o[2] for o in out])
+        return updates, LazyAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def keras_adam(learning_rate: float = 1e-3, b1: float = 0.9,
+               b2: float = 0.999, eps: float = 1e-7
+               ) -> optax.GradientTransformation:
+    """Dense Adam in the exact keras formulation — TF/Keras Adam's true
+    trajectory semantics for sparse-gradient training (see module
+    docstring: TF decays and applies DENSELY; JAX's dense autodiff
+    gradients already carry the dedup-summed slices, so this transform
+    matches a keras Adam trajectory row-for-row, verified over multi-step
+    in/out-of-batch schedules in tests/test_optim.py)."""
+
+    def init_fn(params):
+        mu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        nu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return LazyAdamState(count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
+
+    def update_fn(grads, state, params=None):
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        alpha = learning_rate * jnp.sqrt(c2) / c1
+        mu = jax.tree_util.tree_map(
+            lambda g, m: b1 * m + (1 - b1) * g, grads, state.mu)
+        nu = jax.tree_util.tree_map(
+            lambda g, n: b2 * n + (1 - b2) * g * g, grads, state.nu)
+        updates = jax.tree_util.tree_map(
+            lambda m, n: -alpha * m / (jnp.sqrt(n) + eps), mu, nu)
         return updates, LazyAdamState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init_fn, update_fn)

@@ -45,9 +45,14 @@ class Trainer:
                  sparse_tables=None):
         """
         model: a Recommender.
-        optimizer: an optax GradientTransformation (default lazy_adam(lr) —
-          matching tf2_examples' keras optimizers.Adam(), whose embedding
-          updates are sparse/rows-touched).
+        optimizer: an optax GradientTransformation. Default lazy_adam(lr)
+          — rows-touched updates, the production sparse-embedding
+          semantics (O(batch) HBM per step, censor invariants preserved
+          between touches). For EXACT keras-Adam trajectory parity with
+          the reference (which decays+applies moments densely — see
+          training/optim.py module docstring) pass
+          optimizer=keras_adam(lr); identical per-step, different over
+          trajectories on rows absent from a batch.
         init_model_dir: warm-start checkpoint dir; loaded optimistically
           (shape-matched subset) like reference recommender.py:495-498.
         sparse_tables: optional table specs (training/sparse.py) switching

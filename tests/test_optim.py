@@ -75,3 +75,55 @@ def test_lazy_adagrad_touched_rows_only():
     table = np.asarray(new["table"])
     np.testing.assert_array_equal(table[1:], 1.0)
     assert not np.allclose(table[0], 1.0)
+
+
+def test_keras_adam_trajectory_matches_tf_over_sparse_schedule():
+    """keras_adam must track a real keras Adam trajectory ROW FOR ROW
+    over a multi-step schedule where rows enter and leave the batch
+    (duplicate-free slices, where TF<=2.x and keras 3 agree): TF decays
+    m,v and applies -a*m/(sqrt(v)+eps) DENSELY, so previously-touched
+    rows keep moving while absent. lazy_adam intentionally does NOT
+    (second assert documents the divergence)."""
+    import pytest
+    tf = pytest.importorskip("tensorflow")
+    from openrec_tpu.training.optim import keras_adam
+
+    R, D, lr = 8, 3, 0.01
+    rng = np.random.default_rng(0)
+    init = rng.normal(size=(R, D)).astype(np.float32)
+    V = tf.Variable(init)
+    opt = tf.keras.optimizers.Adam(lr)
+
+    tx = keras_adam(lr)
+    ltx = lazy_adam(lr)
+    params = {"t": jnp.asarray(init)}
+    lparams = {"t": jnp.asarray(init)}
+    state, lstate = tx.init(params), ltx.init(lparams)
+
+    schedule = [([0, 1, 2], rng.normal(size=(3, D))),
+                ([2, 3], rng.normal(size=(2, D))),
+                ([5], rng.normal(size=(1, D))),
+                ([0, 3, 5, 7], rng.normal(size=(4, D))),
+                ([1], np.zeros((1, D)))]        # zero-grad present row
+    for idx, g in schedule:
+        gs = np.asarray(g, np.float32)
+        opt.apply_gradients([(tf.IndexedSlices(
+            tf.constant(gs), tf.constant(np.asarray(idx, np.int64)),
+            dense_shape=tf.constant([R, D], np.int64)), V)])
+        gd = {"t": jnp.zeros((R, D)).at[jnp.asarray(idx)].add(
+            jnp.asarray(gs))}
+        upd, state = tx.update(gd, state, params)
+        params = optax.apply_updates(params, upd)
+        lupd, lstate = ltx.update(gd, lstate, lparams)
+        lparams = optax.apply_updates(lparams, lupd)
+
+    np.testing.assert_allclose(np.asarray(params["t"]), V.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    # row 4 was never touched: all three agree it never moves
+    np.testing.assert_array_equal(np.asarray(params["t"])[4], init[4])
+    # row 1 was touched at step 1 then absent/zero-grad: keras keeps
+    # moving it by residual momentum, lazy_adam freezes it — they MUST
+    # differ (this is the trajectory semantics the round-2 docs had
+    # backwards).
+    assert not np.allclose(np.asarray(lparams["t"])[1],
+                           np.asarray(params["t"])[1], atol=1e-6)
