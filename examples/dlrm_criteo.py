@@ -20,11 +20,18 @@ total_iter = int(1e5)
 batch_size = 1024
 eval_interval = 100
 
+# quick-run / smoke-test overrides (tests/test_examples.py)
+total_iter = int(os.environ.get("OPENREC_EXAMPLE_ITERS", total_iter))
+eval_interval = int(os.environ.get("OPENREC_EXAMPLE_EVAL_INTERVAL",
+                                   eval_interval))
+
 if os.path.isfile("dataset/criteo/kaggle_processed.npz"):
     raw_data = loaders.load_criteo("dataset/")
 else:
     print("dataset/criteo not found — using synthetic data")
-    raw_data = loaders.synthetic_criteo(num_records=300000)
+    n_rec = (20000 if os.environ.get("OPENREC_EXAMPLE_SMALL") == "1"
+             else 300000)
+    raw_data = loaders.synthetic_criteo(num_records=n_rec)
 
 model = criteo_dlrm(raw_data["counts"], dim_embed=dim_embed,
                     ln_bot=bottom_mlp, ln_top=top_mlp)

@@ -6,6 +6,8 @@ with real chips or simulate:
       python examples/dlrm_criteo_multichip.py
 """
 
+import os
+
 import numpy as np
 import jax
 
@@ -16,9 +18,11 @@ from openrec_tpu.parallel import (
 from openrec_tpu.training.optim import lazy_adam
 
 batch_size = 1024
-total_iter = 500
+total_iter = int(os.environ.get("OPENREC_EXAMPLE_ITERS", 500))
 
-raw_data = loaders.synthetic_criteo(num_records=100000)
+n_rec = (20000 if os.environ.get("OPENREC_EXAMPLE_SMALL") == "1"
+         else 100000)
+raw_data = loaders.synthetic_criteo(num_records=n_rec)
 n_dev = len(jax.devices())
 model_axis = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
 mesh = make_mesh(data=n_dev // model_axis, model=model_axis)

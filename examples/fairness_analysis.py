@@ -4,13 +4,16 @@ recommender, then break ranking metrics down by user group (e.g. activity
 deciles) to inspect fairness/diversity of exposure.
 """
 
+import os
+
 import numpy as np
 
 from openrec_tpu.data import Dataset, loaders
 from openrec_tpu.models import BPR
 from openrec_tpu.training import Trainer
 
-raw = loaders.synthetic_citeulike(num_records=60000)
+_SMALL = os.environ.get("OPENREC_EXAMPLE_SMALL") == "1"
+raw = loaders.synthetic_citeulike(num_records=15000 if _SMALL else 60000)
 train_ds = Dataset(raw["train_data"], raw["total_users"],
                    raw["total_items"])
 val_ds = Dataset(raw["val_data"], raw["total_users"], raw["total_items"])
@@ -18,10 +21,11 @@ val_ds = Dataset(raw["val_data"], raw["total_users"], raw["total_items"])
 model = BPR(total_users=raw["total_users"], total_items=raw["total_items"],
             dim_user_embed=32, dim_item_embed=32)
 trainer = Trainer(model, lr=1e-3)
-trainer.train(total_iter=2000,
+_iters = int(os.environ.get("OPENREC_EXAMPLE_ITERS", 2000))
+trainer.train(total_iter=_iters,
               train_batches=train_ds.pairwise(batch_size=512,
                                               num_parallel_calls=2),
-              steps_per_call=100)
+              steps_per_call=min(100, _iters))
 
 # Group users by training activity (interaction-count terciles).
 counts = train_ds.store.user_positive_counts()

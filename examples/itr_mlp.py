@@ -21,11 +21,18 @@ from openrec_tpu.data import Dataset
 from openrec_tpu.models import ItrMLP
 from openrec_tpu.training import Trainer
 
+import os
+
 dim_embed = 20
 batch_size = 256
 update_itr = 200          # forward-propagate embeddings this often
 eval_itr = 1000
 total_users, total_items, n_records = 2000, 3000, 300_000
+pretrain_steps = 2000
+# quick-run / smoke-test overrides (tests/test_examples.py)
+if os.environ.get("OPENREC_EXAMPLE_SMALL") == "1":
+    total_users, total_items, n_records = 300, 500, 20_000
+    update_itr, eval_itr, pretrain_steps = 10, 30, 20
 
 # Synthetic time-ordered explicit ratings (the reference trains on
 # time-formatted Netflix ratings; records must arrive in time order for
@@ -51,10 +58,12 @@ trainer = Trainer(model, lr=1e-3)
 
 print("[pretrain MLPs toward identity]")
 trainer.params = model.pretrain_identity(trainer.params,
-                                         jax.random.PRNGKey(0), steps=2000)
+                                         jax.random.PRNGKey(0),
+                                         steps=pretrain_steps)
 
 trainer.train(
-    total_iter=split // batch_size,
+    total_iter=int(os.environ.get("OPENREC_EXAMPLE_ITERS",
+                                  split // batch_size)),
     train_batches=train_dataset.explicit(batch_size=batch_size,
                                          chronological=True),
     eval_samplers={"val": val_dataset.regression_evaluation(batch_size)},

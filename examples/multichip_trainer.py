@@ -8,6 +8,8 @@ over 'model'. Simulate without hardware:
       python examples/multichip_trainer.py
 """
 
+import os
+
 import numpy as np
 import jax
 
@@ -34,7 +36,9 @@ model = BPR(total_users=total_users, total_items=total_items,
 trainer = ParallelTrainer(model, mesh, lr=1e-3,
                           save_model_dir="/tmp/multichip_ckpt")
 trainer.train(
-    total_iter=400,
+    total_iter=int(os.environ.get("OPENREC_EXAMPLE_ITERS", 400)),
     train_batches=train.pairwise(batch_size=1024, num_parallel_calls=2),
     eval_samplers={"val": val.evaluation(256, excl_datasets=[train])},
-    eval_interval=200, save_interval=200)
+    eval_interval=int(os.environ.get("OPENREC_EXAMPLE_EVAL_INTERVAL",
+                                     200)),
+    save_interval=200)

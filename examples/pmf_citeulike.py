@@ -17,6 +17,11 @@ total_iter = int(1e5)
 batch_size = 1000
 eval_interval = 1000
 
+# quick-run / smoke-test overrides (tests/test_examples.py)
+total_iter = int(os.environ.get("OPENREC_EXAMPLE_ITERS", total_iter))
+eval_interval = int(os.environ.get("OPENREC_EXAMPLE_EVAL_INTERVAL",
+                                   eval_interval))
+
 if os.path.isdir("dataset/citeulike"):
     raw_data = loaders.load_citeulike("dataset/")
 else:

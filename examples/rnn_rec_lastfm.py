@@ -14,6 +14,11 @@ batch_size = 256
 total_iter = int(1e4)
 eval_interval = 100
 
+# quick-run / smoke-test overrides (tests/test_examples.py)
+total_iter = int(os.environ.get("OPENREC_EXAMPLE_ITERS", total_iter))
+eval_interval = int(os.environ.get("OPENREC_EXAMPLE_EVAL_INTERVAL",
+                                   eval_interval))
+
 if os.path.isdir("dataset/lastfm"):
     raw_data = loaders.load_lastfm("dataset/")
 else:
@@ -26,6 +31,11 @@ else:
 
 train_dataset = Dataset(raw_data["train_data"], raw_data["total_users"],
                         raw_data["total_items"], sortby="ts")
+# held-out interactions for next-item evaluation (reference
+# tf1_examples/rnn_rec_lastfm.py:24-28 wires a Test dataset +
+# TemporalEvaluationSampler + AUC/Recall into the trainer)
+test_dataset = Dataset(raw_data["test_data"], raw_data["total_users"],
+                       raw_data["total_items"], sortby="ts")
 
 model = RNNRec(total_items=raw_data["total_items"],
                dim_item_embed=dim_item_embed, max_seq_len=max_seq_len,
@@ -41,5 +51,13 @@ for i, batch in enumerate(train_dataset.temporal(
     loss, _ = trainer.train_step(batch)
     avg.update_state(float(loss))
     if i % eval_interval == 0:
-        print(f"Iter {i}  loss {avg.result():.4f}", flush=True)
+        # next-item ranking over the full catalog (AUC, Recall@{100,500}
+        # — the reference example's evaluator set)
+        m = trainer.evaluate_temporal(
+            test_dataset.temporal_evaluation(batch_size=batch_size,
+                                             max_seq_len=max_seq_len),
+            at=(100, 500))
+        print(f"Iter {i}  loss {avg.result():.4f}  "
+              f"AUC={m['AUC']:.4f}  Recall@[100,500]={m['Recall']}",
+              flush=True)
         avg.reset_states()

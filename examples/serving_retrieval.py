@@ -16,6 +16,8 @@ Amazon-scale catalog (450k items — tf1_examples/dataloader.py:7):
 Measured deltas between the three paths: docs/PERF_NOTES.md.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -25,6 +27,8 @@ from openrec_tpu.modules.embedding import embedding_lookup
 from openrec_tpu.serving import CachedDotProductScorer
 
 total_users, total_items, dim = 99_473, 450_166, 64
+if os.environ.get("OPENREC_EXAMPLE_SMALL") == "1":   # CPU smoke test
+    total_users, total_items, dim = 2000, 20_000, 32
 model = BPR(total_users=total_users, total_items=total_items,
             dim_user_embed=dim, dim_item_embed=dim)
 params = model.init(jax.random.PRNGKey(0))   # stand-in for trained params

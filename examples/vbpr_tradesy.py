@@ -20,18 +20,27 @@ batch_size = 1000
 total_iter = int(1e5)
 eval_interval = 1000
 
+# quick-run / smoke-test overrides (tests/test_examples.py)
+total_iter = int(os.environ.get("OPENREC_EXAMPLE_ITERS", total_iter))
+eval_interval = int(os.environ.get("OPENREC_EXAMPLE_EVAL_INTERVAL",
+                                   eval_interval))
+
 if os.path.isdir("dataset/tradesy"):
     raw_data = loaders.load_tradesy("dataset/")
 else:
     print("dataset/tradesy not found — using synthetic data")
     raw_data = dict(loaders.TRADESY)
     n = 100000
+    if os.environ.get("OPENREC_EXAMPLE_SMALL") == "1":   # CPU smoke test
+        raw_data = {"total_users": 800, "total_items": 4000}
+        n = 20000
     raw = loaders.synthetic_interactions(raw_data["total_users"],
                                          raw_data["total_items"], n)
-    raw_data["train_data"], raw_data["val_data"] = raw[:n - 10000], \
-        raw[n - 10000:]
+    raw_data["train_data"], raw_data["val_data"] = raw[:n - n // 10], \
+        raw[n - n // 10:]
+    n_vis = 16 if os.environ.get("OPENREC_EXAMPLE_SMALL") == "1" else 128
     raw_data["item_features"] = np.random.default_rng(0).normal(
-        size=(raw_data["total_items"], 128)).astype(np.float32)
+        size=(raw_data["total_items"], n_vis)).astype(np.float32)
 
 train_dataset = Dataset(raw_data["train_data"], raw_data["total_users"],
                         raw_data["total_items"])
@@ -67,10 +76,14 @@ for i, batch in enumerate(sampler):
         break
     loss, _ = trainer.train_step(batch)
     if i % eval_interval == 0 and i > 0:
-        scorer.mark_dirty()
-        top_vals, top_ids = scorer.topk(
-            trainer.params, np.arange(64, dtype=np.int32), k=100,
-            approx=True)   # TPU PartialReduce: ~10x exact lax.top_k
-        print(f"Iter {i}  loss {float(loss):.4f}  "
-              f"top1 score {float(np.asarray(top_vals)[:, 0].mean()):.4f}",
-              flush=True)
+        # Ranking eval through the cached scorer (the reference fed its
+        # FastDotProductServer to an EvalManager, vbpr_tradesy.py:57-63):
+        # id batches + the chunked giant-catalog metric path — the
+        # [B, 166k] score rows are never materialized.
+        m = trainer.evaluate(
+            val_dataset.evaluation(batch_size=1000,
+                                   excl_datasets=[train_dataset],
+                                   device_masks=True),
+            at=(50, 100), scorer=scorer)
+        print(f"Iter {i}  loss {float(loss):.4f}  AUC={m['AUC']:.4f}  "
+              f"Recall@[50,100]={m['Recall']}", flush=True)

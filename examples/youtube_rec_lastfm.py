@@ -18,6 +18,11 @@ batch_size = 256
 total_iter = int(1e4)
 eval_interval = 100
 
+# quick-run / smoke-test overrides (tests/test_examples.py)
+total_iter = int(os.environ.get("OPENREC_EXAMPLE_ITERS", total_iter))
+eval_interval = int(os.environ.get("OPENREC_EXAMPLE_EVAL_INTERVAL",
+                                   eval_interval))
+
 if os.path.isdir("dataset/lastfm"):
     raw_data = loaders.load_lastfm("dataset/")
     user_feature = np.load("dataset/lastfm/user_feature.npy")
@@ -29,13 +34,18 @@ else:
     raw = loaders.synthetic_interactions(raw_data["total_users"],
                                          raw_data["total_items"], 50000,
                                          timestamps=True)
-    raw_data["train_data"] = raw
+    raw_data["train_data"], raw_data["test_data"] = raw[:45000], raw[45000:]
     rng = np.random.default_rng(0)
     gender = rng.integers(0, 3, raw_data["total_users"]).astype(np.int32)
     geo = rng.integers(0, 67, raw_data["total_users"]).astype(np.int32)
 
 train_dataset = Dataset(raw_data["train_data"], raw_data["total_users"],
                         raw_data["total_items"], sortby="ts")
+# held-out next-item eval with the same user-feature joins (reference
+# tf1_examples/youtube_rec_lastfm.py:28-36 wires YouTubeEvaluationSampler
+# + AUC/Recall)
+test_dataset = Dataset(raw_data["test_data"], raw_data["total_users"],
+                       raw_data["total_items"], sortby="ts")
 
 model = YouTubeRec(total_items=raw_data["total_items"],
                    dim_item_embed=dim_item_embed, max_seq_len=max_seq_len,
@@ -55,5 +65,13 @@ for i, batch in enumerate(batches):
     loss, _ = trainer.train_step(batch)
     avg.update_state(float(loss))
     if i % eval_interval == 0:
-        print(f"Iter {i}  loss {avg.result():.4f}", flush=True)
+        m = trainer.evaluate_temporal(
+            test_dataset.temporal_evaluation(
+                batch_size=batch_size, max_seq_len=max_seq_len,
+                joins=[("user_id", gender, "user_gender"),
+                       ("user_id", geo, "user_geo")]),
+            at=(100, 500))
+        print(f"Iter {i}  loss {avg.result():.4f}  "
+              f"AUC={m['AUC']:.4f}  Recall@[100,500]={m['Recall']}",
+              flush=True)
         avg.reset_states()
