@@ -1,0 +1,236 @@
+"""DLRM sparse-step roofline: is a Pallas gather/scatter kernel worth it?
+
+VERDICT r2 #7 asks for a fused 26-table gather/scatter-grad kernel for
+DLRM, OR a measurement showing the XLA sparse step is already at the
+memory floor. This decomposes the production step (fused table +
+O(batch) sparse Adam, training/sparse.py — 0.20-0.26 ms/step at batch
+4096 in benchmarks/dlrm_throughput.json) into its parts on the real
+chip:
+
+  full         — the production sparse step (measured anew);
+  dense_only   — identical MLPs/interaction/loss/opt but the embedding
+                 lookup replaced by a constant [B, 26, D] tensor: the
+                 step's MXU + dense-Adam floor, zero embedding work;
+  sparse_only  — ONLY the embedding machinery (unique -> gather rows +
+                 moments -> grad -> sparse Adam -> scatter) driven by a
+                 trivial loss over the looked-up rows: the part a Pallas
+                 kernel could possibly accelerate;
+  floors       — analytic bytes/FLOP floors at v5e peaks (819 GB/s HBM,
+                 ~49 TFLOP/s fp32 MXU) for both parts.
+
+Decision rule: if sparse_only is a small fraction of full AND sits near
+its own HBM floor, a kernel cannot move the step materially — record
+the negative result in docs/PERF_NOTES.md. Run ALONE on the chip.
+"""
+
+import dataclasses
+import json
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+COUNTS = [1460, 583, 10131227, 2202608, 305, 24, 12517, 633, 3, 93145,
+          5683, 8351593, 3194, 27, 14992, 5461306, 10, 5652, 2173, 4,
+          7046547, 18, 15, 286181, 105, 142572]
+B = 4096
+D = 16
+BOT, TOP = (512, 256, 64, 16), (512, 256, 1)
+STEPS = 30
+N_BATCH = 8          # distinct prestaged batches (identical-args rule)
+
+
+def make_batches(n):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    return [{
+        "dense_features": jnp.asarray(
+            rng.normal(size=(B, 13)).astype(np.float32)),
+        "sparse_features": jnp.asarray(np.stack(
+            [rng.integers(0, c, B) for c in COUNTS],
+            axis=1).astype(np.int32)),
+        "label": jnp.asarray(rng.integers(0, 2, B).astype(np.float32)),
+    } for _ in range(n)]
+
+
+def _time(fn, batches):
+    import jax
+    out = fn(batches[0])
+    out = fn(batches[1 % len(batches)])
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        out = fn(batches[i % len(batches)])
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / STEPS
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from openrec_tpu.models import DLRM
+    from openrec_tpu.models.base import Recommender
+    from openrec_tpu.modules.embedding import embedding_lookup
+    from openrec_tpu.training.sparse import (
+        dlrm_fused_table_spec, make_sparse_train_step)
+
+    results = {"config": {"batch": B, "m_spa": D, "bot": list(BOT),
+                          "top": list(TOP),
+                          "total_rows": int(sum(COUNTS))}}
+    kw = dict(m_spa=D, ln_emb=tuple(COUNTS), ln_bot=BOT, ln_top=TOP,
+              dim_dense=13, loss_func="bce")
+    batches = make_batches(N_BATCH)
+
+    # ---- full production step
+    model = DLRM(fused_tables=True, **kw)
+    params = model.init(jax.random.PRNGKey(0))
+    init_fn, step_fn, _ = make_sparse_train_step(
+        model, dlrm_fused_table_spec(model), learning_rate=1e-3)
+    st = init_fn(params)
+    state = {"p": params, "st": st}
+
+    def full(batch):
+        state["p"], state["st"], loss = step_fn(
+            state["p"], state["st"], batch, jax.random.PRNGKey(0))
+        return loss
+
+    dt_full = _time(full, batches)
+    results["full_ms"] = round(dt_full * 1e3, 4)
+    del state, params, st
+
+    # ---- dense-only step: same MLPs/interaction, constant "embeddings"
+    dmodel = DLRM(**kw)
+    dparams = dmodel.init(jax.random.PRNGKey(0))
+    dparams.pop("embed_tables")
+    const_emb = jnp.asarray(
+        np.random.default_rng(1).normal(size=(B, len(COUNTS), D))
+        .astype(np.float32) * 0.05)
+    import optax
+    from openrec_tpu.training.optim import lazy_adam
+    tx = lazy_adam(1e-3)
+    dopt = tx.init(dparams)
+
+    def dense_loss(p, batch):
+        # DLRM.predict with the table path replaced by const_emb
+        x = batch["dense_features"]
+        mb = dmodel._mlp_bot
+        dense_emb = mb.apply(p["mlp_bot"], x)
+        feats = jnp.concatenate(
+            [const_emb, dense_emb[:, None, :]], axis=1)
+        dots = jnp.einsum("bnd,bmd->bnm", feats, feats)
+        n = feats.shape[1]
+        iu, ju = np.tril_indices(n, k=-1)
+        inter = dots[:, iu, ju]
+        top_in = jnp.concatenate([dense_emb, inter], axis=1)
+        out = dmodel._mlp_top.apply(p["mlp_top"], top_in)
+        pred = jax.nn.sigmoid(jnp.reshape(out, (-1,)))
+        eps = 1e-7
+        pclip = jnp.clip(pred, eps, 1 - eps)
+        lab = batch["label"]
+        return -jnp.mean(lab * jnp.log(pclip)
+                         + (1 - lab) * jnp.log(1 - pclip))
+
+    @jax.jit
+    def dense_step(p, opt, batch):
+        g = jax.grad(dense_loss)(p, batch)
+        upd, opt = tx.update(g, opt, p)
+        return optax.apply_updates(p, upd), opt
+
+    dstate = {"p": dparams, "o": dopt}
+
+    def dense_only(batch):
+        dstate["p"], dstate["o"] = dense_step(dstate["p"], dstate["o"],
+                                              batch)
+        return dstate["p"]["mlp_top"][0]["w"]
+
+    dt_dense = _time(dense_only, batches)
+    results["dense_only_ms"] = round(dt_dense * 1e3, 4)
+    del dstate, dparams, dopt
+
+    # ---- sparse-only: just the embedding machinery via a trivial loss
+    @dataclasses.dataclass(frozen=True)
+    class EmbedOnly(Recommender):
+        total_rows: int
+        offsets: tuple
+
+        def init(self, rng):
+            return {"embed_fused": 0.01 * jax.random.normal(
+                rng, (self.total_rows, D))}
+
+        def flat_ids(self, sparse):
+            return sparse + jnp.asarray(self.offsets, jnp.int32)[None, :]
+
+        def loss(self, p, batch, rng=None):
+            rows = embedding_lookup(
+                p["embed_fused"],
+                self.flat_ids(batch["sparse_features"]).reshape(-1))
+            t = jnp.sum(rows * rows)
+            return t, {"loss": t}
+
+    offsets = np.concatenate([[0], np.cumsum(COUNTS)[:-1]])
+    emodel = EmbedOnly(total_rows=int(sum(COUNTS)),
+                       offsets=tuple(int(o) for o in offsets))
+    eparams = emodel.init(jax.random.PRNGKey(0))
+    einit, estep, _ = make_sparse_train_step(
+        emodel,
+        {"embed_fused":
+         lambda batch: emodel.flat_ids(
+             batch["sparse_features"]).reshape(-1)},
+        learning_rate=1e-3)
+    est = einit(eparams)
+    estate = {"p": eparams, "st": est}
+
+    def sparse_only(batch):
+        estate["p"], estate["st"], loss = estep(
+            estate["p"], estate["st"], batch, jax.random.PRNGKey(0))
+        return loss
+
+    dt_sparse = _time(sparse_only, batches)
+    results["sparse_only_ms"] = round(dt_sparse * 1e3, 4)
+
+    # ---- analytic floors (v5e: ~819 GB/s HBM, ~49 TFLOP/s fp32)
+    ids = B * len(COUNTS)
+    # rows + mu + nu gathered AND scattered, fp32 D-vectors
+    sparse_bytes = ids * D * 4 * 3 * 2
+    flops = 0
+    dims = [13] + list(BOT)
+    for a, b in zip(dims[:-1], dims[1:]):
+        flops += 2 * B * a * b
+    n = len(COUNTS) + 1
+    flops += 2 * B * n * n * D            # interaction einsum
+    top_in = BOT[-1] + n * (n - 1) // 2
+    dims = [top_in] + list(TOP)
+    for a, b in zip(dims[:-1], dims[1:]):
+        flops += 2 * B * a * b
+    flops *= 3                            # fwd + bwd (~2x fwd)
+    results["floors"] = {
+        "sparse_hbm_us": round(sparse_bytes / 819e9 * 1e6, 1),
+        "dense_mxu_us_fp32": round(flops / 49e12 * 1e6, 1),
+        "sparse_bytes_per_step": sparse_bytes,
+        "dense_flops_per_step": int(flops),
+    }
+    results["verdict"] = {
+        "sparse_fraction_of_full": round(dt_sparse / dt_full, 3),
+        "sparse_over_hbm_floor": round(
+            dt_sparse * 1e6 / max(results["floors"]["sparse_hbm_us"],
+                                  1e-9), 2),
+        "dense_plus_sparse_vs_full": round(
+            (dt_dense + dt_sparse) / dt_full, 3),
+    }
+    print(json.dumps(results, indent=2))
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "dlrm_sparse_roofline.json")
+    with open(path, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -665,46 +665,55 @@ def main():
         out.setdefault(name, {})[key] = fn()
         _write(out)
 
-    # Pre-plateau-only runs stop here: past it the planted-structure
-    # curves are flat and no longer discriminate (round-2 verdict).
+    # Budgeting (this suite runs on a 2-vCPU host; keras-semantics
+    # training is O(catalog)/step on both sides): the trajectory claim
+    # is decided in the MOVING part of the curve — the planted metric
+    # plateaus by ~iter 2000 — so most runs stop at the pre-plateau cap.
+    # UCML, the round-2 disputed target, additionally runs to the full
+    # 30k on the decisive pair (ours vs ref_dedup) plus the
+    # fp-perturbation control that calibrates pure fp-accumulation
+    # divergence at that horizon. Round 2's full-30k keras3-native
+    # reference finals (AUC 0.88596/0.88661) and lazy-adam ours final
+    # (0.87860) remain in git history (quality_parity.json @ d6fe440)
+    # for the final-value comparison; the lazy-vs-keras deviation is
+    # documented here at the pre-plateau cap.
     PRE = CKPTS[min(4, len(CKPTS) - 1)]
 
     inits = make_inits()
     for name, (model, kind, ref_fn) in runs.items():
         _log(f"=== {name} ===")
+        full = None if name == "UCML" else PRE
         record(name, "ours", lambda: run_ours(
-            model, kind, train_data, test_data, inits))
+            model, kind, train_data, test_data, inits, iters=full))
         record(name, "ref_dedup", lambda: ref_fn(
             train_data, test_data, inits, grad_mode="dedup",
-            tag=f"ref-{name}-dedup"))
-        # keras-3 per-slice mode: full-length on UCML (where the dup-v
-        # effect is largest); pre-plateau elsewhere.
-        k3_iters = None if name == "UCML" else PRE
+            tag=f"ref-{name}-dedup", iters=full))
         record(name, "ref_keras3", lambda: ref_fn(
             train_data, test_data, inits, grad_mode="keras3",
-            tag=f"ref-{name}-keras3", iters=k3_iters))
+            tag=f"ref-{name}-keras3", iters=PRE))
 
-    # Variance bands for the two models whose round-2 curves were still
-    # moving: ours under a different init+stream seed, and the reference
-    # under an fp-sized (1e-7) init perturbation — the scale any
-    # remaining ours-vs-reference difference must be judged against.
-    # UCML (the disputed target) gets full-length bands; WRMF's cover
-    # the moving (pre-plateau) part of the curve.
-    for name, band_iters in (("UCML", None), ("WRMF", PRE)):
+    # Variance bands: ours under a different init+stream seed, and the
+    # reference under an fp-sized (1e-7) init perturbation — the scale
+    # any remaining ours-vs-reference difference must be judged against.
+    # UCML's fp control runs the full horizon (it calibrates the
+    # fp-divergence of the 30k decisive pair).
+    for name, band_iters in (("UCML", PRE), ("WRMF", PRE)):
         model, kind, ref_fn = runs[name]
         record(name, "ours_seed2", lambda: run_ours(
             model, kind, train_data, test_data, make_inits(seed=123),
             sampler_seed=SEED + 7, iters=band_iters))
         record(name, "ref_dedup_fp_perturbed", lambda: ref_fn(
             train_data, test_data, make_inits(perturb=1e-7),
-            grad_mode="dedup", tag=f"ref-{name}-fp", iters=band_iters))
+            grad_mode="dedup", tag=f"ref-{name}-fp",
+            iters=None if name == "UCML" else band_iters))
 
     # The production path (lazy_adam) on the noisiest target — records
     # the size of the lazy-vs-keras trajectory deviation (root cause of
-    # the round-2 UCML gap) against the bands above.
+    # the round-2 UCML gap; its 30k final is in the r2 artifact).
     model, kind, _ = runs["UCML"]
     record("UCML", "ours_lazy_adam", lambda: run_ours(
-        model, kind, train_data, test_data, inits, optimizer="lazy"))
+        model, kind, train_data, test_data, inits, optimizer="lazy",
+        iters=PRE))
 
     _log("=== DLRM (shared init) ===")
     dlrm_inits = make_dlrm_inits()

@@ -66,7 +66,7 @@ def _round_up(x, m):
 
 
 def _bucket_max_kernel(u_ref, v_ref, b_ref, vals_ref, ids_ref, *,
-                       chunk, n_chunks, acc_dtype):
+                       chunk, n_chunks, acc_dtype, reduction="chain"):
     """One (user block, item block) grid cell.
 
     The item block holds `n_chunks * chunk` consecutive items. Each chunk
@@ -81,6 +81,12 @@ def _bucket_max_kernel(u_ref, v_ref, b_ref, vals_ref, ids_ref, *,
     (Folding the bias into the matmul via an augmented D+1 dim was tried
     and measured SLOWER — 1.0→1.4-2.0ms at tradesy — the off-tile last
     dimension costs more in layout/DMA than the saved VPU add.)
+
+    reduction='tree': same number of compare/select ops, but pairs are
+    folded in a binary tree whose dependency chain is log2 of the
+    chain's — aimed at the VPU-latency bound. Within each level the
+    lower half holds strictly smaller item indices, so strict `>` (keep
+    lower on ties) preserves the earliest-index-wins convention.
     """
     j = pl.program_id(1)
     ub = u_ref.shape[0]
@@ -88,6 +94,7 @@ def _bucket_max_kernel(u_ref, v_ref, b_ref, vals_ref, ids_ref, *,
     lane = jax.lax.broadcasted_iota(jnp.int32, (ub, _LANES), 1)
     acc_v = jnp.full((ub, _LANES), -jnp.inf, acc_dtype)
     acc_c = jnp.zeros((ub, _LANES), jnp.int32)   # row code = c*(chunk/128)+a
+    n_sub = chunk // _LANES
     for c in range(n_chunks):
         v_c = v_ref[c * chunk:(c + 1) * chunk, :]
         s = jax.lax.dot_general(
@@ -95,11 +102,34 @@ def _bucket_max_kernel(u_ref, v_ref, b_ref, vals_ref, ids_ref, *,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=acc_dtype,
         ) + b_ref[:, c * chunk:(c + 1) * chunk].astype(acc_dtype)
-        for a in range(chunk // _LANES):
-            blk = s[:, a * _LANES:(a + 1) * _LANES]
+        if reduction == "tree" and n_sub > 1:
+            # Adjacent pairing keeps every left subtree's index range
+            # strictly below its right sibling's, so strict `>` (keep
+            # left on ties) preserves earliest-index-wins at every level.
+            vals = [s[:, a * _LANES:(a + 1) * _LANES]
+                    for a in range(n_sub)]
+            codes = list(range(n_sub))      # int ⇒ scalar code
+            while len(vals) > 1:
+                nv, nc = [], []
+                for p in range(0, len(vals) - 1, 2):
+                    a_v, b_v = vals[p], vals[p + 1]
+                    upd = b_v > a_v
+                    nv.append(jnp.where(upd, b_v, a_v))
+                    nc.append(jnp.where(upd, codes[p + 1], codes[p]))
+                if len(vals) % 2:
+                    nv.append(vals[-1])
+                    nc.append(codes[-1])
+                vals, codes = nv, nc
+            blk, code = vals[0], codes[0]
             upd = blk > acc_v
             acc_v = jnp.where(upd, blk, acc_v)
-            acc_c = jnp.where(upd, c * (chunk // _LANES) + a, acc_c)
+            acc_c = jnp.where(upd, c * n_sub + code, acc_c)
+        else:
+            for a in range(n_sub):
+                blk = s[:, a * _LANES:(a + 1) * _LANES]
+                upd = blk > acc_v
+                acc_v = jnp.where(upd, blk, acc_v)
+                acc_c = jnp.where(upd, c * n_sub + a, acc_c)
     vals_ref[:] = acc_v
     # code 0 ⇒ the bucket's first member, so even an all-padding bucket
     # reports a valid member id (numpy argmax-of-equals convention)
@@ -108,7 +138,8 @@ def _bucket_max_kernel(u_ref, v_ref, b_ref, vals_ref, ids_ref, *,
 
 def bucket_max_scores(user_vecs, item_table, item_bias,
                       bucket: int = 128, item_tile: int = 2048,
-                      user_block: int = 256, interpret: bool = False):
+                      user_block: int = 256, interpret: bool = False,
+                      reduction: str = "chain"):
     """[B, L] (bucket-max scores, argmax item ids) of u.V^T + b,
     L = I_pad/bucket, computed in one fused pass (never materializing
     [B, I]).
@@ -151,7 +182,8 @@ def bucket_max_scores(user_vecs, item_table, item_bias,
         b = b.at[0, :I].set(0.0)
 
     kernel = functools.partial(_bucket_max_kernel, chunk=chunk,
-                               n_chunks=n_chunks, acc_dtype=jnp.float32)
+                               n_chunks=n_chunks, acc_dtype=jnp.float32,
+                               reduction=reduction)
     grid = (B_pad // UB, I_pad // item_block)
     vals, ids = pl.pallas_call(
         kernel,
@@ -190,7 +222,8 @@ def bucket_max_scores(user_vecs, item_table, item_bias,
 def pallas_score_topk(user_vecs, item_table, item_bias, k: int,
                       bucket: int = 128, item_tile: int = 2048,
                       user_block: int = 256, interpret: bool = False,
-                      recall_target: float | None = None):
+                      recall_target: float | None = None,
+                      reduction: str = "chain"):
     """(top_vals, top_ids): fused Pallas bucket-max pass + exact top-k
     over the [B, L] maxima. Same guarantee as `lax.approx_max_k` at
     reduction ratio `bucket`: every returned score/id exact; recall < 1
@@ -228,6 +261,7 @@ def pallas_score_topk(user_vecs, item_table, item_bias, k: int,
     vals, ids = bucket_max_scores(user_vecs, item_table, item_bias,
                                   bucket=bucket, item_tile=item_tile,
                                   user_block=user_block,
-                                  interpret=interpret)
+                                  interpret=interpret,
+                                  reduction=reduction)
     top_vals, pos = jax.lax.top_k(vals, k)
     return top_vals, jnp.take_along_axis(ids, pos, axis=1)

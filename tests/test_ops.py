@@ -65,11 +65,12 @@ from openrec_tpu.ops.bucketed_topk import bucket_max_scores, \
     pallas_score_topk
 
 
+@pytest.mark.parametrize("reduction", ["chain", "tree"])
 @pytest.mark.parametrize("B,I,D,bucket,tile",
                          [(4, 1024, 16, 8, 256),    # n_j=1, multi-chunk
                           (12, 700, 8, 4, 256),     # padded tail block
                           (6, 1300, 16, 2, 128)])   # n_j>=2 (j indexing)
-def test_bucket_max_scores_matches_numpy(B, I, D, bucket, tile):
+def test_bucket_max_scores_matches_numpy(B, I, D, bucket, tile, reduction):
     rng = np.random.default_rng(2)
     u = rng.normal(size=(B, D)).astype(np.float32)
     v = rng.normal(size=(I, D)).astype(np.float32)
@@ -77,7 +78,7 @@ def test_bucket_max_scores_matches_numpy(B, I, D, bucket, tile):
     vals, ids = bucket_max_scores(jnp.asarray(u), jnp.asarray(v),
                                   jnp.asarray(b), bucket=bucket,
                                   item_tile=tile, user_block=8,
-                                  interpret=True)
+                                  interpret=True, reduction=reduction)
     vals, ids = np.asarray(vals), np.asarray(ids)
     scores = u @ v.T + b[None, :]
     # Strided bucket oracle: item t = j*item_block + a*128 + lane belongs
