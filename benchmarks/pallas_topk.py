@@ -55,6 +55,15 @@ def bench_case(users, items, dim, bucket=128, item_tile=2048, trials=50):
             u, V_dev, b_dev, K, bucket=bucket, item_tile=item_tile)),
         "pallas-bf16": jax.jit(lambda u: pallas_score_topk(
             u, V_bf16, b_dev, K, bucket=bucket, item_tile=item_tile)),
+        # r3: tree-reduction select (log-depth dependency chain — the
+        # chain was the identified VPU bound), chain vs tree A/B
+        "pallas-bf16-tree": jax.jit(lambda u: pallas_score_topk(
+            u, V_bf16, b_dev, K, bucket=bucket, item_tile=item_tile,
+            reduction="tree")),
+        # wider in-kernel MXU chunk = wider trees, fewer sequential folds
+        "pallas-bf16-tree-t4096": jax.jit(lambda u: pallas_score_topk(
+            u, V_bf16, b_dev, K, bucket=bucket, item_tile=4096,
+            reduction="tree")),
         "pallas-bf16-r99": jax.jit(lambda u: pallas_score_topk(
             u, V_bf16, b_dev, K, item_tile=item_tile,
             recall_target=0.99)),

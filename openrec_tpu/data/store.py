@@ -108,12 +108,10 @@ class InteractionStore:
             # Pre-sample `num_negatives` negatives per warm user
             # (reference utils.py:37-49).
             warm = np.flatnonzero(counts > 0)
-            neg_rows = []
+            neg_rows = self._presample_negatives_batch(warm, num_negatives)
             ptr = np.zeros(self._total_users + 1, dtype=np.int64)
-            for u in warm:
-                negs = self._presample_user_negatives(int(u), num_negatives)
+            for u, negs in zip(warm, neg_rows):
                 ptr[u + 1] = len(negs)
-                neg_rows.append(negs)
             self._neg_ptr = np.cumsum(ptr).astype(np.int64)
             self._neg_items_csr = (np.concatenate(neg_rows)
                                    if neg_rows else np.empty(0, np.int64))
@@ -240,6 +238,42 @@ class InteractionStore:
             chosen.add(cand)
             out.append(cand)
         return np.asarray(out, dtype=np.int64)
+
+    def _presample_negatives_batch(self, users: np.ndarray, k: int) -> list:
+        """First-k-distinct-non-positive uniform draws per user, for all
+        users at once: one [W, m] oversampled candidate matrix with a
+        vectorized positive check + order-preserving per-row dedupe,
+        instead of the O(U·k) per-draw Python loop (advisor r2 note —
+        that loop dominated init at 450k-item catalogs). Rows where the
+        oversample comes up short (k near the catalog size, or dense
+        users) fall back to the exact per-user loop; the sampled
+        DISTRIBUTION is identical either way (first k distinct valid
+        entries of a uniform stream)."""
+        W = len(users)
+        if W == 0:
+            return []
+        m = min(self._total_items, int(k * 1.5) + 32)
+        cand = self._rng.integers(0, self._total_items, size=(W, m))
+        pos = self.is_positive(np.repeat(users, m),
+                               cand.reshape(-1)).reshape(W, m)
+        # keep only each value's FIRST occurrence within its row (stable
+        # sort ⇒ the first of each equal-run is the earliest position)
+        order = np.argsort(cand, axis=1, kind="stable")
+        sc = np.take_along_axis(cand, order, axis=1)
+        first_sorted = np.ones_like(sc, dtype=bool)
+        first_sorted[:, 1:] = sc[:, 1:] != sc[:, :-1]
+        first = np.empty_like(first_sorted)
+        np.put_along_axis(first, order, first_sorted, axis=1)
+        valid = first & ~pos
+        enough = valid.sum(axis=1) >= k
+        rows = []
+        for i in range(W):
+            if enough[i]:
+                rows.append(cand[i][valid[i]][:k].astype(np.int64))
+            else:
+                rows.append(self._presample_user_negatives(int(users[i]),
+                                                           k))
+        return rows
 
     def _sample_presampled_negatives(self, user_ids: np.ndarray,
                                      rng=None) -> np.ndarray:

@@ -23,9 +23,15 @@ _tried = False
 
 
 def _build():
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _LIB_PATH]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # -march=native when the toolchain supports it (portability: some
+    # compilers/targets reject it — retry generic before giving up).
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+            _SRC, "-o", _LIB_PATH]
+    try:
+        subprocess.run(base[:2] + ["-march=native"] + base[2:],
+                       check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(base, check=True, capture_output=True)
 
 
 def load():
