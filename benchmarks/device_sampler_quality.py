@@ -75,7 +75,11 @@ def run(path, seed, train_ds, test_ds):
     for ck in CKPTS:
         k = ck - done
         if path == "device":
-            tr.train_steps_device(sampler, k)
+            # fixed segment length -> ONE compiled device loop for the
+            # whole run (each distinct k is its own multi-minute axon
+            # remote compile)
+            for _ in range(k // 1000):
+                tr.train_steps_device(sampler, 1000)
         else:
             # fused multi-step dispatch over a pre-stacked host segment
             for lo in range(0, k, 200):
