@@ -18,6 +18,13 @@ chip:
   floors       — analytic bytes/FLOP floors at v5e peaks (819 GB/s HBM,
                  ~49 TFLOP/s fp32 MXU) for both parts.
 
+Each variant runs in its OWN subprocess: on this backend donation state
+is process-global and fragile (docs/PERF_NOTES.md "donation poisoning"),
+and a first single-process version of this harness measured sparse_only
+at the no-donation whole-table-copy rate (60.8 ms = params+moments
+6.5 GB at ~107 GB/s) purely from cross-variant contamination. Per-
+variant processes also give each program a fresh allocator.
+
 Decision rule: if sparse_only is a small fraction of full AND sits near
 its own HBM floor, a kernel cannot move the step materially — record
 the negative result in docs/PERF_NOTES.md. Run ALONE on the chip.
@@ -26,6 +33,7 @@ the negative result in docs/PERF_NOTES.md. Run ALONE on the chip.
 import dataclasses
 import json
 import os
+import subprocess
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
@@ -72,59 +80,68 @@ def _time(fn, batches):
     return (time.perf_counter() - t0) / STEPS
 
 
-def main():
+def run_full():
+    """The production sparse step."""
     import jax
-    import jax.numpy as jnp
 
     from openrec_tpu.models import DLRM
-    from openrec_tpu.models.base import Recommender
-    from openrec_tpu.modules.embedding import embedding_lookup
     from openrec_tpu.training.sparse import (
         dlrm_fused_table_spec, make_sparse_train_step)
 
-    results = {"config": {"batch": B, "m_spa": D, "bot": list(BOT),
-                          "top": list(TOP),
-                          "total_rows": int(sum(COUNTS))}}
     kw = dict(m_spa=D, ln_emb=tuple(COUNTS), ln_bot=BOT, ln_top=TOP,
               dim_dense=13, loss_func="bce")
-    batches = make_batches(N_BATCH)
-
-    # ---- full production step
     model = DLRM(fused_tables=True, **kw)
     params = model.init(jax.random.PRNGKey(0))
     init_fn, step_fn, _ = make_sparse_train_step(
         model, dlrm_fused_table_spec(model), learning_rate=1e-3)
     st = init_fn(params)
     state = {"p": params, "st": st}
+    batches = make_batches(N_BATCH)
 
     def full(batch):
         state["p"], state["st"], loss = step_fn(
             state["p"], state["st"], batch, jax.random.PRNGKey(0))
         return loss
 
-    dt_full = _time(full, batches)
-    results["full_ms"] = round(dt_full * 1e3, 4)
-    del state, params, st
+    return {"full_ms": round(_time(full, batches) * 1e3, 4)}
 
-    # ---- dense-only step: same MLPs/interaction, constant "embeddings"
+
+def run_dense_only():
+    """Same MLPs/interaction/loss/opt, constant 'embeddings', donated."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from openrec_tpu.models import DLRM
+    from openrec_tpu.training.optim import lazy_adam
+
+    kw = dict(m_spa=D, ln_emb=tuple(COUNTS), ln_bot=BOT, ln_top=TOP,
+              dim_dense=13, loss_func="bce")
     dmodel = DLRM(**kw)
     dparams = dmodel.init(jax.random.PRNGKey(0))
     dparams.pop("embed_tables")
+    tx = lazy_adam(1e-3)
+    dopt = tx.init(dparams)
+    batches = make_batches(N_BATCH)
+    # a device-RESIDENT argument, not a closure constant: on this
+    # tunneled backend a [B, 26, D] (6.8MB) constant embedded in the
+    # jitted program re-ships host->device per call (measured: it alone
+    # inflated this variant 0.45 -> 2.4 ms/step)
     const_emb = jnp.asarray(
         np.random.default_rng(1).normal(size=(B, len(COUNTS), D))
         .astype(np.float32) * 0.05)
-    import optax
-    from openrec_tpu.training.optim import lazy_adam
-    tx = lazy_adam(1e-3)
-    dopt = tx.init(dparams)
+    for bt in batches:
+        bt["emb"] = const_emb
 
     def dense_loss(p, batch):
-        # DLRM.predict with the table path replaced by const_emb
+        # DLRM.predict with the table path replaced by batch['emb']
         x = batch["dense_features"]
         mb = dmodel._mlp_bot
         dense_emb = mb.apply(p["mlp_bot"], x)
         feats = jnp.concatenate(
-            [const_emb, dense_emb[:, None, :]], axis=1)
+            [batch["emb"], dense_emb[:, None, :]], axis=1)
         dots = jnp.einsum("bnd,bmd->bnm", feats, feats)
         n = feats.shape[1]
         iu, ju = np.tril_indices(n, k=-1)
@@ -138,7 +155,7 @@ def main():
         return -jnp.mean(lab * jnp.log(pclip)
                          + (1 - lab) * jnp.log(1 - pclip))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def dense_step(p, opt, batch):
         g = jax.grad(dense_loss)(p, batch)
         upd, opt = tx.update(g, opt, p)
@@ -151,11 +168,19 @@ def main():
                                               batch)
         return dstate["p"]["mlp_top"][0]["w"]
 
-    dt_dense = _time(dense_only, batches)
-    results["dense_only_ms"] = round(dt_dense * 1e3, 4)
-    del dstate, dparams, dopt
+    return {"dense_only_ms": round(_time(dense_only, batches) * 1e3, 4)}
 
-    # ---- sparse-only: just the embedding machinery via a trivial loss
+
+def run_sparse_only():
+    """Only the embedding machinery, via a trivial loss."""
+    import jax
+
+    import jax.numpy as jnp
+
+    from openrec_tpu.models.base import Recommender
+    from openrec_tpu.modules.embedding import embedding_lookup
+    from openrec_tpu.training.sparse import make_sparse_train_step
+
     @dataclasses.dataclass(frozen=True)
     class EmbedOnly(Recommender):
         total_rows: int
@@ -187,14 +212,42 @@ def main():
         learning_rate=1e-3)
     est = einit(eparams)
     estate = {"p": eparams, "st": est}
+    batches = make_batches(N_BATCH)
 
     def sparse_only(batch):
         estate["p"], estate["st"], loss = estep(
             estate["p"], estate["st"], batch, jax.random.PRNGKey(0))
         return loss
 
-    dt_sparse = _time(sparse_only, batches)
-    results["sparse_only_ms"] = round(dt_sparse * 1e3, 4)
+    return {"sparse_only_ms": round(_time(sparse_only, batches) * 1e3, 4)}
+
+
+VARIANTS = {"full": run_full, "dense_only": run_dense_only,
+            "sparse_only": run_sparse_only}
+
+
+def main():
+    results = {"config": {"batch": B, "m_spa": D, "bot": list(BOT),
+                          "top": list(TOP),
+                          "total_rows": int(sum(COUNTS))}}
+    for name in VARIANTS:
+        t0 = time.time()
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), name],
+            capture_output=True, text=True, timeout=3600)
+        line = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+        try:
+            results.update(json.loads(line))
+        except Exception:
+            print(f"[{name}] FAILED:\n{out.stdout[-2000:]}\n"
+                  f"{out.stderr[-3000:]}", flush=True)
+            raise
+        print(f"[{name}] {line}  ({time.time() - t0:.0f}s incl compile)",
+              flush=True)
+
+    dt_full = results["full_ms"]
+    dt_dense = results["dense_only_ms"]
+    dt_sparse = results["sparse_only_ms"]
 
     # ---- analytic floors (v5e: ~819 GB/s HBM, ~49 TFLOP/s fp32)
     ids = B * len(COUNTS)
@@ -220,7 +273,7 @@ def main():
     results["verdict"] = {
         "sparse_fraction_of_full": round(dt_sparse / dt_full, 3),
         "sparse_over_hbm_floor": round(
-            dt_sparse * 1e6 / max(results["floors"]["sparse_hbm_us"],
+            dt_sparse * 1e3 / max(results["floors"]["sparse_hbm_us"],
                                   1e-9), 2),
         "dense_plus_sparse_vs_full": round(
             (dt_dense + dt_sparse) / dt_full, 3),
@@ -233,4 +286,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        print(json.dumps(VARIANTS[sys.argv[1]]()))
+    else:
+        main()
