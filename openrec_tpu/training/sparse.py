@@ -80,6 +80,23 @@ class SubTable:
         return cls(*children)
 
 
+def _compact_sorted(sorted_ids, cap: int):
+    """(uids, valid) from PRE-SORTED ids: first-occurrence positions are
+    scattered to the front of a [cap] buffer initialized with the max id
+    (= the last unique), so pads alias a real id and the result stays
+    sorted — one cumsum + one O(n) scatter, no argsort/re-sort."""
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]])
+    k = jnp.minimum(jnp.sum(is_first), cap)
+    # non-first entries (and uniques past cap) scatter out of bounds ->
+    # dropped
+    pos = jnp.where(is_first, jnp.cumsum(is_first) - 1, cap)
+    uids = jnp.full((cap,), sorted_ids[-1], sorted_ids.dtype).at[pos].set(
+        sorted_ids, mode="drop")
+    valid = jnp.arange(cap) < k
+    return uids, valid
+
+
 def unique_padded(ids, cap: int):
     """(uids, valid): sorted unique ids padded to length cap by repeating
     the last unique id, plus a mask marking real (non-pad) entries.
@@ -90,18 +107,29 @@ def unique_padded(ids, cap: int):
     scatter-add would double-apply to that row).
     """
     ids = jnp.reshape(ids, (-1,))
-    sorted_ids = jnp.sort(ids)
-    is_first = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]])
-    # Compact unique values to the front, pad tail with the last unique.
-    order = jnp.argsort(~is_first, stable=True)
-    compacted = sorted_ids[order]
-    k = jnp.minimum(jnp.sum(is_first), cap)
-    idx = jnp.arange(cap)
-    fill = compacted[jnp.minimum(idx, k - 1)]
-    uids = jnp.sort(fill[:cap])
-    valid = idx < k
-    return uids, valid
+    return _compact_sorted(jnp.sort(ids), cap)
+
+
+def unique_padded_columns(ids_bt):
+    """Per-column unique for [B, T] ids whose columns index DISJOINT,
+    increasing id ranges (e.g. per-table offset ids: column t covers
+    [offset_t, offset_t + rows_t), offsets increasing).
+
+    Returns (uids [T*B], valid [T*B]) — per-column sorted uniques (cap B
+    each, pads alias that column's max id) concatenated in column order,
+    which the disjoint-increasing-ranges contract makes GLOBALLY sorted,
+    as SubTable.searchsorted requires.
+
+    Why: one flat sort of B*T ids is the dominant cost of the sparse
+    step's dedup at DLRM scale (batch 4096 x 26 tables = 106k ids); T
+    batched B-element sorts are far cheaper on the VPU (lane-parallel)
+    — see benchmarks/dlrm_sparse_roofline.py 'colu' variants.
+    """
+    cols = ids_bt.T                           # [T, B]
+    B = cols.shape[1]
+    sorted_cols = jnp.sort(cols, axis=1)
+    uids, valid = jax.vmap(lambda s: _compact_sorted(s, B))(sorted_cols)
+    return jnp.reshape(uids, (-1,)), jnp.reshape(valid, (-1,))
 
 
 class SparseAdamState(NamedTuple):
@@ -151,8 +179,18 @@ def dlrm_table_specs(num_tables: int):
             for i in range(num_tables)}
 
 
-def dlrm_fused_table_spec(model):
-    """Spec for DLRM(fused_tables=True): one table, flat offset ids."""
+def dlrm_fused_table_spec(model, columnwise: bool = True):
+    """Spec for DLRM(fused_tables=True): one table, offset ids.
+
+    columnwise=True (default) hands the sparse step the [B, T] offset-id
+    matrix so dedup runs per table column (T batched B-element sorts
+    instead of one B*T-id sort); the per-table offset ranges are disjoint
+    and increasing by construction, satisfying unique_padded_columns'
+    contract. columnwise=False restores the flat-sort path."""
+    if columnwise:
+        return {"embed_fused":
+                lambda batch: model.flat_sparse_ids(
+                    batch["sparse_features"])}
     return {"embed_fused":
             lambda batch: model.flat_sparse_ids(
                 batch["sparse_features"]).reshape(-1)}
@@ -203,10 +241,17 @@ def make_sparse_train_step(model, table_specs,
     def step_core(params, opt_state, batch, rng):
         sparse_state: SparseAdamState = opt_state["sparse"]
 
-        # 1) unique ids + caps (static from batch shapes)
+        # 1) unique ids + caps (static from batch shapes). A spec that
+        # returns a 2-D [B, T] id matrix opts into per-column dedup
+        # (unique_padded_columns' disjoint-increasing-ranges contract);
+        # id_cap does not apply there (cap = B per column).
         uids, valid = {}, {}
         for path, extract in specs.items():
-            all_ids = jnp.reshape(extract(batch), (-1,))
+            raw = extract(batch)
+            if getattr(raw, "ndim", 1) == 2:
+                uids[path], valid[path] = unique_padded_columns(raw)
+                continue
+            all_ids = jnp.reshape(raw, (-1,))
             cap = id_cap or all_ids.shape[0]
             uids[path], valid[path] = unique_padded(
                 all_ids, min(cap, all_ids.shape[0]))

@@ -27,6 +27,37 @@ def test_unique_padded():
                                   [True, True, True, False, False, False])
 
 
+def test_unique_padded_cap_below_uniques():
+    ids = jnp.asarray([5, 3, 5, 9, 3, 3, 7, 1])
+    uids, valid = unique_padded(ids, 3)       # uniques {1,3,5,7,9} > cap
+    np.testing.assert_array_equal(np.asarray(uids), [1, 3, 5])
+    np.testing.assert_array_equal(np.asarray(valid), [True] * 3)
+
+
+def test_unique_padded_columns_matches_flat():
+    from openrec_tpu.training.sparse import unique_padded_columns
+
+    rng = np.random.default_rng(3)
+    counts = (7, 3, 19)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    B = 16
+    ids_bt = jnp.asarray(np.stack(
+        [rng.integers(0, c, B) + o for c, o in zip(counts, offsets)],
+        axis=1).astype(np.int32))
+    uids, valid = unique_padded_columns(ids_bt)
+    u, v = np.asarray(uids), np.asarray(valid)
+    # globally sorted (required by SubTable.searchsorted)
+    assert (np.diff(u) >= 0).all()
+    # valid entries == the true unique set
+    flat = np.asarray(ids_bt).reshape(-1)
+    np.testing.assert_array_equal(np.sort(u[v]), np.unique(flat))
+    # pads alias a real id of their column (searchsorted-first safe)
+    assert set(u[~v].tolist()) <= set(flat.tolist())
+    # every original id resolves to its own row (SubTable contract)
+    pos = np.searchsorted(u, flat)
+    np.testing.assert_array_equal(u[pos], flat)
+
+
 def _setup():
     store = InteractionStore(make_interactions(), 40, 100, seed=0)
     model = BPR(total_users=40, total_items=100, dim_user_embed=8,
@@ -206,3 +237,37 @@ def test_dlrm_fused_sparse_step():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_dlrm_fused_columnwise_matches_flat_dedup():
+    """The per-column dedup path (default spec) and the flat-sort path
+    produce bit-identical training trajectories."""
+    from openrec_tpu.models import DLRM
+    from openrec_tpu.training.sparse import dlrm_fused_table_spec
+
+    model = DLRM(m_spa=4, ln_emb=(50, 80, 30), ln_bot=(8, 4),
+                 ln_top=(16, 1), dim_dense=3, loss_func="bce",
+                 fused_tables=True)
+    rng = np.random.default_rng(5)
+    B = 32
+    batches = [{
+        "dense_features": jnp.asarray(
+            rng.normal(size=(B, 3)).astype(np.float32)),
+        "sparse_features": jnp.asarray(np.stack(
+            [rng.integers(0, c, B) for c in (50, 80, 30)],
+            axis=1).astype(np.int32)),
+        "label": jnp.asarray(rng.integers(0, 2, B).astype(np.float32)),
+    } for _ in range(4)]
+
+    finals = []
+    for columnwise in (True, False):
+        params = model.init(jax.random.PRNGKey(0))
+        init_fn, step_fn, _ = make_sparse_train_step(
+            model, dlrm_fused_table_spec(model, columnwise=columnwise),
+            learning_rate=0.01)
+        st = init_fn(params)
+        p = params
+        for i, b in enumerate(batches):
+            p, st, _ = step_fn(p, st, b, jax.random.PRNGKey(i))
+        finals.append(jax.tree_util.tree_map(np.asarray, p))
+    jax.tree_util.tree_map(np.testing.assert_array_equal, *finals)
