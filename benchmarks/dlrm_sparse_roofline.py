@@ -171,7 +171,7 @@ def run_dense_only():
     return {"dense_only_ms": round(_time(dense_only, batches) * 1e3, 4)}
 
 
-def run_sparse_only():
+def run_sparse_only(columnwise=False):
     """Only the embedding machinery, via a trivial loss."""
     import jax
 
@@ -204,12 +204,17 @@ def run_sparse_only():
     emodel = EmbedOnly(total_rows=int(sum(COUNTS)),
                        offsets=tuple(int(o) for o in offsets))
     eparams = emodel.init(jax.random.PRNGKey(0))
-    einit, estep, _ = make_sparse_train_step(
-        emodel,
-        {"embed_fused":
-         lambda batch: emodel.flat_ids(
-             batch["sparse_features"]).reshape(-1)},
-        learning_rate=1e-3)
+    # columnwise: hand the step the [B, T] id matrix -> per-column dedup
+    # (26 batched 4096-sorts) instead of one 106k-id sort
+    if columnwise:
+        spec = {"embed_fused":
+                lambda batch: emodel.flat_ids(batch["sparse_features"])}
+    else:
+        spec = {"embed_fused":
+                lambda batch: emodel.flat_ids(
+                    batch["sparse_features"]).reshape(-1)}
+    einit, estep, _ = make_sparse_train_step(emodel, spec,
+                                             learning_rate=1e-3)
     est = einit(eparams)
     estate = {"p": eparams, "st": est}
     batches = make_batches(N_BATCH)
@@ -219,11 +224,13 @@ def run_sparse_only():
             estate["p"], estate["st"], batch, jax.random.PRNGKey(0))
         return loss
 
-    return {"sparse_only_ms": round(_time(sparse_only, batches) * 1e3, 4)}
+    key = "sparse_only_colu_ms" if columnwise else "sparse_only_ms"
+    return {key: round(_time(sparse_only, batches) * 1e3, 4)}
 
 
 VARIANTS = {"full": run_full, "dense_only": run_dense_only,
-            "sparse_only": run_sparse_only}
+            "sparse_only": lambda: run_sparse_only(False),
+            "sparse_only_colu": lambda: run_sparse_only(True)}
 
 
 def main():
@@ -277,6 +284,8 @@ def main():
                                   1e-9), 2),
         "dense_plus_sparse_vs_full": round(
             (dt_dense + dt_sparse) / dt_full, 3),
+        "colu_speedup_vs_flat_dedup": round(
+            dt_sparse / results["sparse_only_colu_ms"], 3),
     }
     print(json.dumps(results, indent=2))
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
