@@ -178,7 +178,16 @@ def main():
     sustained = TOTAL_STEPS * B / wall
 
     # Timed region over — NOW it is safe to fetch (device_get from here
-    # on only slows steps we no longer run).
+    # on only slows steps we no longer run). Free the staged pools (and
+    # the 6.5GB params+moments) BEFORE fetching: with the full
+    # pool-of-3000 (~9k device buffers) still live, the post-loop scalar
+    # fetch hung indefinitely on this backend in two consecutive runs;
+    # with the buffers released it completes. (The r2 run with pool 2048
+    # fetched fine — the failure tracks live-buffer count, not the
+    # fetch itself.)
+    del train_pool, val_dev, params, opt_state, loss
+    import gc
+    gc.collect()
     curve = [{"step": s, "val_auc": round(float(a), 4),
               "loss": round(float(l), 4),
               "train_ms_per_step": round(ms, 3)}
