@@ -196,11 +196,15 @@ def main():
         print(rec, flush=True)
 
     # Per-step FLOP / roofline estimate (r2 verdict #3 asked for MFU):
-    # dense MLPs + interaction einsum, forward + ~2x backward. The v5e
-    # fp32 MXU peak is ~49 TFLOP/s; the step ALSO moves ~25 MB of
-    # embedding rows+moments (gather+scatter), so it is jointly
-    # MXU/HBM-bound — see benchmarks/dlrm_sparse_roofline.json for the
-    # decomposition.
+    # dense MLPs + interaction einsum, forward + ~2x backward, reported
+    # as achieved TFLOP/s against an ASSUMED ~49 TFLOP/s fp32-via-MXU
+    # rate (1/4 of the v5e bf16 peak). The 20.3M ex/s run achieves
+    # ~59 TFLOP/s = 1.2x that assumption — XLA evidently runs these
+    # fp32 matmuls faster than the 1/4-peak rule of thumb (bf16
+    # multi-pass), so treat the ratio as "vs assumed fp32 peak", not a
+    # true MFU. The step ALSO moves ~25 MB of embedding rows+moments
+    # (gather+scatter), so it is jointly MXU/HBM-bound — see
+    # benchmarks/dlrm_sparse_roofline.json for the decomposition.
     flops = 0
     dims = [13, 512, 256, 64, 16]
     for a, b in zip(dims[:-1], dims[1:]):
@@ -227,10 +231,13 @@ def main():
         "roofline": {
             "flops_per_step": int(flops),
             "ms_per_step_incl_eval": round(ms_per_step, 3),
-            "mfu_fp32_incl_eval": round(
+            "achieved_tflops_incl_eval": round(
+                flops / (ms_per_step * 1e-3) / 1e12, 1),
+            "vs_assumed_fp32_peak_49tflops": round(
                 flops / (ms_per_step * 1e-3) / 49e12, 4),
             "note": "jointly MXU/HBM-bound; decomposition in "
-                    "dlrm_sparse_roofline.json",
+                    "dlrm_sparse_roofline.json; ratio >1 means XLA "
+                    "beats the 1/4-bf16-peak fp32 assumption",
         },
     }
     print(json.dumps(out, indent=1))
