@@ -179,14 +179,18 @@ def dlrm_table_specs(num_tables: int):
             for i in range(num_tables)}
 
 
-def dlrm_fused_table_spec(model, columnwise: bool = True):
+def dlrm_fused_table_spec(model, columnwise: bool = False):
     """Spec for DLRM(fused_tables=True): one table, offset ids.
 
-    columnwise=True (default) hands the sparse step the [B, T] offset-id
-    matrix so dedup runs per table column (T batched B-element sorts
-    instead of one B*T-id sort); the per-table offset ranges are disjoint
-    and increasing by construction, satisfying unique_padded_columns'
-    contract. columnwise=False restores the flat-sort path."""
+    columnwise=True hands the sparse step the [B, T] offset-id matrix so
+    dedup runs per table column (T batched B-element sorts instead of
+    one B*T-id sort); the per-table offset ranges are disjoint and
+    increasing by construction, satisfying unique_padded_columns'
+    contract. MEASURED SLOWER standalone at Criteo scale (0.51 vs 0.41
+    ms sparse-only, benchmarks/dlrm_sparse_roofline.json r3 — the
+    batched small sorts + vmapped scatter don't beat XLA's one flat
+    sort), so the flat path stays the default; the option remains for
+    other shapes."""
     if columnwise:
         return {"embed_fused":
                 lambda batch: model.flat_sparse_ids(
