@@ -37,7 +37,8 @@ BATCH = 256
 POOL = 8          # distinct pre-staged user batches
 
 
-def bench_case(users, items, dim, bucket=128, item_tile=2048, trials=50):
+def bench_case(users, items, dim, bucket=128, item_tile=2048, trials=50,
+               done=None, save=None):
     rng = np.random.default_rng(0)
     U = (rng.normal(size=(users, dim)) / np.sqrt(dim)).astype(np.float32)
     V = (rng.normal(size=(items, dim)) / np.sqrt(dim)).astype(np.float32)
@@ -76,6 +77,10 @@ def bench_case(users, items, dim, bucket=128, item_tile=2048, trials=50):
 
     out = {}
     for name, fn in fns.items():
+        if done and name in done:
+            out[name] = done[name]
+            print(f"  {name}: (kept) {out[name]}", flush=True)
+            continue
         vals, idx = fn(pool[0])
         jax.block_until_ready((vals, idx))
 
@@ -102,18 +107,37 @@ def bench_case(users, items, dim, bucket=128, item_tile=2048, trials=50):
             "recall_vs_fp32_exact": round(float(recall), 4),
         }
         print(f"  {name}: {out[name]}", flush=True)
+        if save is not None:
+            save(out)      # incremental: tunnel compiles can flake
     return out
 
 
 if __name__ == "__main__":
+    # resume-from-JSON: completed modes are kept (the remote-compile
+    # tunnel can drop mid-run); pass catalog tags as argv to restrict.
+    path = os.path.join(os.path.dirname(__file__), "pallas_topk.json")
     res = {}
-    for tag, (users, items, dim) in {
+    if os.path.exists(path):
+        with open(path) as f:
+            res = json.load(f)
+    cases = {
         "tradesy_165906x64": (19243, 165906, 64),
         "amazon_450166x64": (99473, 450166, 64),
-    }.items():
+    }
+    only = set(sys.argv[1:])
+    for tag, (users, items, dim) in cases.items():
+        if only and not any(o in tag for o in only):
+            continue
+        key = f"{tag}_B{BATCH}_top{K}"
         print(f"[{tag}]", flush=True)
-        res[f"{tag}_B{BATCH}_top{K}"] = bench_case(users, items, dim)
+
+        def save(out, key=key):
+            res[key] = out
+            with open(path, "w") as f:
+                json.dump(res, f, indent=1)
+
+        res[key] = bench_case(users, items, dim, done=res.get(key),
+                              save=save)
     print(json.dumps(res, indent=1))
-    with open(os.path.join(os.path.dirname(__file__),
-                           "pallas_topk.json"), "w") as f:
+    with open(path, "w") as f:
         json.dump(res, f, indent=1)

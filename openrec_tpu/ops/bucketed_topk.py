@@ -82,11 +82,15 @@ def _bucket_max_kernel(u_ref, v_ref, b_ref, vals_ref, ids_ref, *,
     and measured SLOWER — 1.0→1.4-2.0ms at tradesy — the off-tile last
     dimension costs more in layout/DMA than the saved VPU add.)
 
-    reduction='tree': same number of compare/select ops, but pairs are
-    folded in a binary tree whose dependency chain is log2 of the
-    chain's — aimed at the VPU-latency bound. Within each level the
-    lower half holds strictly smaller item indices, so strict `>` (keep
-    lower on ties) preserves the earliest-index-wins convention.
+    reduction='tree' (DEFAULT since r3): same number of compare/select
+    ops, but pairs are folded in a binary tree whose dependency chain is
+    log2 of the chain's — aimed at the VPU-latency bound. Within each
+    level the lower half holds strictly smaller item indices, so strict
+    `>` (keep lower on ties) preserves the earliest-index-wins
+    convention. Measured (benchmarks/pallas_topk.json, r3 A/B in one
+    run): with item_tile=4096 the tree is 14% faster than the chain at
+    amazon scale (1.35 vs 1.57 ms/batch bf16) and ~3% at tradesy —
+    wider MXU chunks widen the trees and cut sequential folds.
     """
     j = pl.program_id(1)
     ub = u_ref.shape[0]
@@ -137,9 +141,9 @@ def _bucket_max_kernel(u_ref, v_ref, b_ref, vals_ref, ids_ref, *,
 
 
 def bucket_max_scores(user_vecs, item_table, item_bias,
-                      bucket: int = 128, item_tile: int = 2048,
+                      bucket: int = 128, item_tile: int = 4096,
                       user_block: int = 256, interpret: bool = False,
-                      reduction: str = "chain"):
+                      reduction: str = "tree"):
     """[B, L] (bucket-max scores, argmax item ids) of u.V^T + b,
     L = I_pad/bucket, computed in one fused pass (never materializing
     [B, I]).
@@ -220,10 +224,10 @@ def bucket_max_scores(user_vecs, item_table, item_bias,
 
 
 def pallas_score_topk(user_vecs, item_table, item_bias, k: int,
-                      bucket: int = 128, item_tile: int = 2048,
+                      bucket: int = 128, item_tile: int = 4096,
                       user_block: int = 256, interpret: bool = False,
                       recall_target: float | None = None,
-                      reduction: str = "chain"):
+                      reduction: str = "tree"):
     """(top_vals, top_ids): fused Pallas bucket-max pass + exact top-k
     over the [B, L] maxima. Same guarantee as `lax.approx_max_k` at
     reduction ratio `bucket`: every returned score/id exact; recall < 1
