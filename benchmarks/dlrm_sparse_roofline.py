@@ -171,6 +171,44 @@ def run_dense_only():
     return {"dense_only_ms": round(_time(dense_only, batches) * 1e3, 4)}
 
 
+def run_sparse_ab():
+    """Same-process A/B of the dedup modes on the REAL production step
+    (run-to-run variance on this backend is ±20-30%, so cross-process
+    comparisons of sub-ms kernels are meaningless): flat → mixed → flat
+    bracketing, one DLRM model + batches, fresh params per mode."""
+    import jax
+
+    from openrec_tpu.models import DLRM
+    from openrec_tpu.training.sparse import (
+        dlrm_fused_table_spec, make_sparse_train_step)
+
+    kw = dict(m_spa=D, ln_emb=tuple(COUNTS), ln_bot=BOT, ln_top=TOP,
+              dim_dense=13, loss_func="bce")
+    model = DLRM(fused_tables=True, **kw)
+    batches = make_batches(N_BATCH)
+    out = {}
+    import os as _os
+    order = (("mixed1", "mixed"), ("flat", "flat"), ("mixed2", "mixed")) \
+        if _os.environ.get("AB_ORDER") == "mixed_first" else \
+        (("flat1", "flat"), ("mixed", "mixed"), ("flat2", "flat"))
+    for tag, mode in order:
+        params = model.init(jax.random.PRNGKey(0))
+        init_fn, step_fn, _ = make_sparse_train_step(
+            model, dlrm_fused_table_spec(model, mode=mode),
+            learning_rate=1e-3)
+        state = {"p": params, "st": init_fn(params)}
+        del params
+
+        def step(batch):
+            state["p"], state["st"], loss = step_fn(
+                state["p"], state["st"], batch, jax.random.PRNGKey(0))
+            return loss
+
+        out[f"ab_{tag}_ms"] = round(_time(step, batches) * 1e3, 4)
+        del state
+    return out
+
+
 def run_sparse_only(columnwise=False):
     """Only the embedding machinery, via a trivial loss."""
     import jax
@@ -230,7 +268,8 @@ def run_sparse_only(columnwise=False):
 
 VARIANTS = {"full": run_full, "dense_only": run_dense_only,
             "sparse_only": lambda: run_sparse_only(False),
-            "sparse_only_colu": lambda: run_sparse_only(True)}
+            "sparse_only_colu": lambda: run_sparse_only(True),
+            "sparse_ab": run_sparse_ab}
 
 
 def main():

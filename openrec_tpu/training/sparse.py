@@ -132,6 +132,49 @@ def unique_padded_columns(ids_bt):
     return jnp.reshape(uids, (-1,)), jnp.reshape(valid, (-1,))
 
 
+class ColumnIds:
+    """[B, T] offset-id matrix plus static per-table (counts, offsets):
+    returned by a spec extractor to opt the sparse step into the MIXED
+    static/dedup scheme (`unique_padded_mixed`). counts/offsets must be
+    python ints (they size static segments at trace time); columns must
+    cover disjoint, increasing id ranges."""
+
+    def __init__(self, ids_bt, counts, offsets):
+        self.ids_bt = ids_bt
+        self.counts = tuple(int(c) for c in counts)
+        self.offsets = tuple(int(o) for o in offsets)
+
+
+def unique_padded_mixed(col_ids: ColumnIds):
+    """(uids, valid) for ColumnIds — the observation: a table with
+    count <= B rows never has more uniques than its OWN row count, so
+    its 'unique set' can be the full static range [offset, offset+count)
+    with NO sort at all; `valid` is then the touched-this-batch mask
+    (one O(B) scatter), which preserves exact lazy semantics — untouched
+    rows contribute zero to params AND moments, identically to the flat
+    path where they are simply absent. Only big tables (count > B) pay
+    a per-column sort-dedup. Segments concatenate in offset order, so
+    the result is globally sorted (disjoint increasing ranges), as
+    SubTable.searchsorted requires.
+
+    At the Criteo-Kaggle config (batch 4096, 26 tables, 15 of them with
+    count <= 4096) this cuts the dedup sort from 106k to ~45k ids AND
+    the gathered/updated rowset from 106k to ~64k rows."""
+    ids_bt = col_ids.ids_bt
+    B = ids_bt.shape[0]
+    segs_u, segs_v = [], []
+    for t, (c, o) in enumerate(zip(col_ids.counts, col_ids.offsets)):
+        if c <= B:
+            segs_u.append(jnp.arange(o, o + c, dtype=ids_bt.dtype))
+            segs_v.append(jnp.zeros((c,), bool)
+                          .at[ids_bt[:, t] - o].set(True, mode="drop"))
+        else:
+            u, v = unique_padded(ids_bt[:, t], B)
+            segs_u.append(u)
+            segs_v.append(v)
+    return jnp.concatenate(segs_u), jnp.concatenate(segs_v)
+
+
 class SparseAdamState(NamedTuple):
     count: jnp.ndarray
     mu: dict
@@ -179,19 +222,37 @@ def dlrm_table_specs(num_tables: int):
             for i in range(num_tables)}
 
 
-def dlrm_fused_table_spec(model, columnwise: bool = False):
+def dlrm_fused_table_spec(model, columnwise: bool = False,
+                          mode: str = None):
     """Spec for DLRM(fused_tables=True): one table, offset ids.
 
-    columnwise=True hands the sparse step the [B, T] offset-id matrix so
-    dedup runs per table column (T batched B-element sorts instead of
-    one B*T-id sort); the per-table offset ranges are disjoint and
-    increasing by construction, satisfying unique_padded_columns'
-    contract. MEASURED SLOWER standalone at Criteo scale (0.51 vs 0.41
-    ms sparse-only, benchmarks/dlrm_sparse_roofline.json r3 — the
-    batched small sorts + vmapped scatter don't beat XLA's one flat
-    sort), so the flat path stays the default; the option remains for
-    other shapes."""
-    if columnwise:
+    mode (or legacy columnwise=True for 'columns'):
+      None/'flat'  — one flat B*T-id sort-dedup (default).
+      'columns'    — [B, T] matrix: per-column dedup (T batched
+                     B-element sorts). MEASURED SLOWER standalone at
+                     Criteo scale (0.51 vs 0.41 ms sparse-only,
+                     benchmarks/dlrm_sparse_roofline.json r3 — batched
+                     small sorts + vmapped scatter don't beat XLA's one
+                     flat sort); kept for other shapes.
+      'mixed'      — ColumnIds: tables with count <= batch contribute
+                     their full static row range (no sort, touched mask
+                     only); big tables dedup per column. Cuts both the
+                     sort width and the gathered rowset (~40% at
+                     Criteo-Kaggle batch 4096); exact lazy semantics
+                     preserved (bit-identical trajectories,
+                     tests/test_sparse_step.py).
+
+    Per-table offset ranges are disjoint and increasing by construction,
+    satisfying the columns/mixed contracts."""
+    mode = "columns" if columnwise and mode is None else (mode or "flat")
+    if mode == "mixed":
+        counts = tuple(model.ln_emb)
+        offsets = tuple(model.table_offsets[:-1])
+        return {"embed_fused":
+                lambda batch: ColumnIds(
+                    model.flat_sparse_ids(batch["sparse_features"]),
+                    counts, offsets)}
+    if mode == "columns":
         return {"embed_fused":
                 lambda batch: model.flat_sparse_ids(
                     batch["sparse_features"])}
@@ -252,6 +313,9 @@ def make_sparse_train_step(model, table_specs,
         uids, valid = {}, {}
         for path, extract in specs.items():
             raw = extract(batch)
+            if isinstance(raw, ColumnIds):
+                uids[path], valid[path] = unique_padded_mixed(raw)
+                continue
             if getattr(raw, "ndim", 1) == 2:
                 uids[path], valid[path] = unique_padded_columns(raw)
                 continue

@@ -260,14 +260,19 @@ def test_dlrm_fused_columnwise_matches_flat_dedup():
     } for _ in range(4)]
 
     finals = []
-    for columnwise in (True, False):
+    # 'mixed' exercises both segment kinds at B=32: counts 50/80 > B
+    # dedup per column, count 30 <= B becomes a static touched-mask
+    # segment
+    for mode in ("mixed", "columns", "flat"):
         params = model.init(jax.random.PRNGKey(0))
         init_fn, step_fn, _ = make_sparse_train_step(
-            model, dlrm_fused_table_spec(model, columnwise=columnwise),
+            model, dlrm_fused_table_spec(model, mode=mode),
             learning_rate=0.01)
         st = init_fn(params)
         p = params
         for i, b in enumerate(batches):
             p, st, _ = step_fn(p, st, b, jax.random.PRNGKey(i))
         finals.append(jax.tree_util.tree_map(np.asarray, p))
-    jax.tree_util.tree_map(np.testing.assert_array_equal, *finals)
+    for other in finals[1:]:
+        jax.tree_util.tree_map(np.testing.assert_array_equal,
+                               finals[0], other)
