@@ -245,8 +245,10 @@ def run_sparse_only(columnwise=False):
     # columnwise: hand the step the [B, T] id matrix -> per-column dedup
     # (26 batched 4096-sorts) instead of one 106k-id sort
     if columnwise:
+        from openrec_tpu.training.sparse import Columns
         spec = {"embed_fused":
-                lambda batch: emodel.flat_ids(batch["sparse_features"])}
+                lambda batch: Columns(
+                    emodel.flat_ids(batch["sparse_features"]))}
     else:
         spec = {"embed_fused":
                 lambda batch: emodel.flat_ids(
@@ -323,7 +325,11 @@ def main():
                                   1e-9), 2),
         "dense_plus_sparse_vs_full": round(
             (dt_dense + dt_sparse) / dt_full, 3),
-        "colu_speedup_vs_flat_dedup": round(
+        # Cross-process ratio: the two sparse_only variants run in
+        # separate subprocesses, where run-to-run variance is +-20-30%
+        # at these sub-ms scales (module docstring). Indicative only;
+        # the authoritative same-process bracket is `sparse_ab`.
+        "colu_speedup_vs_flat_dedup_CROSS_PROCESS_INDICATIVE": round(
             dt_sparse / results["sparse_only_colu_ms"], 3),
     }
     print(json.dumps(results, indent=2))

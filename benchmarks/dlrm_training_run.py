@@ -142,8 +142,10 @@ def main():
         ys = jnp.concatenate([label for _, _, label in val_dev])
         return auc_dev(ys, ss)
 
-    # compile + warm
-    params, opt_state, loss = step_fn(params, opt_state, train_pool[0],
+    # compile + warm on a DEDICATED batch (not pool[0]) so no batch in
+    # the timed loop has already been trained on.
+    warm_batch = {k: jnp.asarray(v) for k, v in gen_batch(rng).items()}
+    params, opt_state, loss = step_fn(params, opt_state, warm_batch,
                                       jax.random.PRNGKey(0))
     jax.block_until_ready(loss)
     base_auc = val_auc()
@@ -162,8 +164,12 @@ def main():
     t_start = time.perf_counter()
     t_int = t_start
     for i in range(1, TOTAL_STEPS + 1):
+        # i-1 (not i % TRAIN_POOL): with TRAIN_POOL == TOTAL_STEPS the
+        # modulo would hand step TOTAL_STEPS the warmup batch (index 0)
+        # a second time; 1-indexed steps over 0-indexed pool keeps every
+        # timed step on a genuinely fresh batch.
         params, opt_state, loss = step_fn(
-            params, opt_state, train_pool[i % TRAIN_POOL], step_key)
+            params, opt_state, train_pool[(i - 1) % TRAIN_POOL], step_key)
         if i % EVAL_EVERY == 0:
             jax.block_until_ready(loss)
             train_dt = time.perf_counter() - t_int

@@ -40,7 +40,7 @@ bpr_model = BPR(total_users=raw_data["total_users"],
                 dim_user_embed=dim_embed,
                 dim_item_embed=dim_embed)
 
-trainer = Trainer(bpr_model, lr=1e-3, save_model_dir="bpr_citeulike_ckpt")
+trainer = Trainer(bpr_model, lr=1e-3, save_model_dir=os.environ.get("OPENREC_CKPT_DIR", "/tmp/openrec_examples/bpr_citeulike_ckpt"))
 trainer.train(
     total_iter=total_iter,
     train_batches=train_dataset.pairwise(batch_size=batch_size,

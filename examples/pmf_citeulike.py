@@ -40,7 +40,7 @@ pmf_model = PMF(total_users=raw_data["total_users"],
                 dim_user_embed=dim_embed,
                 dim_item_embed=dim_embed)
 
-trainer = Trainer(pmf_model, lr=1e-3, save_model_dir="pmf_citeulike_ckpt")
+trainer = Trainer(pmf_model, lr=1e-3, save_model_dir=os.environ.get("OPENREC_CKPT_DIR", "/tmp/openrec_examples/pmf_citeulike_ckpt"))
 trainer.train(
     total_iter=total_iter,
     train_batches=train_dataset.stratified_pointwise(

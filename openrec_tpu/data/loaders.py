@@ -51,8 +51,45 @@ def load_tradesy(dataset_folder="dataset/"):
 
 
 def load_lastfm(dataset_folder="dataset/"):
+    """Reference layout (tf1_examples/rnn_rec_lastfm.py:9-10,
+    youtube_rec_lastfm.py:8-10): lastfm_{train,test}.npy structured
+    interaction arrays with a 'ts' field, plus user_feature.npy (rows
+    positionally indexed by user_id, fields user_gender/user_geo) when
+    present. There is no val split in the reference; 'val_data' aliases
+    the test split so the Dataset-facade call sites work unchanged."""
     raw = dict(LASTFM)
-    raw.update(_load_split(dataset_folder, "lastfm"))
+    folder = os.path.join(dataset_folder, "lastfm")
+    raw["train_data"] = np.load(os.path.join(folder, "lastfm_train.npy"))
+    raw["test_data"] = np.load(os.path.join(folder, "lastfm_test.npy"))
+    raw["val_data"] = raw["test_data"]
+    feature_path = os.path.join(folder, "user_feature.npy")
+    if os.path.exists(feature_path):
+        raw["user_features"] = np.load(feature_path)
+    return raw
+
+
+def load_amazon_book(dataset_folder="dataset/", feature_shape=None):
+    """Reference layout (tf1_examples/dataloader.py:4-16 /
+    tf2_examples/dataloader.py:4-17): user_data_{train,val,test}.npy plus
+    a raw float32 memmap of 4096-dim visual features and categorical user
+    features. The reference reads the memmap with shape
+    (raw_data['max_item'], 4096) — a key it never sets (it sets
+    'total_items'), so its own loader raises KeyError; we use
+    total_items, which is what the shape plainly means.
+
+    feature_shape overrides the (total_items, 4096) memmap shape (the
+    file carries no header, so the caller must know it — test fixtures
+    use small shapes)."""
+    raw = dict(AMAZON_BOOK)
+    raw.update(_load_split(dataset_folder, "amazon"))
+    if feature_shape is None:
+        feature_shape = (raw["total_items"], 4096)
+    raw["item_features"] = np.array(np.memmap(
+        os.path.join(dataset_folder, "amazon", "book_features_update.mem"),
+        dtype=np.float32, mode="r", shape=tuple(feature_shape)))
+    raw["user_features"] = np.load(
+        os.path.join(dataset_folder, "amazon",
+                     "user_features_categories.npy"))
     return raw
 
 

@@ -52,9 +52,15 @@ class ParallelTrainer(Trainer):
         self._dense_tx = optimizer   # raw arg: sparse-step dense_tx must
                                      # match the opt_state built here
         if sparse_tables is not None:
+            from openrec_tpu.training.sparse import make_sparse_train_step
             step_fn, init_fn = make_parallel_sparse_train_step(
                 model, sparse_tables, mesh, rules=rules,
                 learning_rate=lr, dense_tx=optimizer)
+            # step_core for the fused K-step path (_step_body under scan);
+            # same math as the per-step parallel sparse step.
+            _, _, self._sparse_core = make_sparse_train_step(
+                model, sparse_tables, learning_rate=lr,
+                dense_tx=optimizer)
         else:
             step_fn, init_fn = make_parallel_train_step(
                 model, self.tx, mesh, rules=rules)
@@ -103,10 +109,33 @@ class ParallelTrainer(Trainer):
         self.global_step += 1
         return loss, aux
 
-    def train_step_multi(self, batches):
-        raise NotImplementedError(
-            "steps_per_call>1: feed a Device*Sampler (on-device sampling "
-            "scans k steps per dispatch) or use steps_per_call=1")
+    def _dispatch_multi(self, stacked: dict, k: int):
+        """Host-fed fused K-step on the mesh: the [k, B, ...] stacked
+        batches shard over 'data' on dim 1 (each host/device transfers
+        only its slice of every step's batch) and a lax.scan runs the k
+        steps in ONE dispatch — the same dispatch-RTT amortization as the
+        single-device train_step_multi_flat, same math (scan of
+        _step_body; sparse_tables route through the sparse step_core).
+
+        Giant-table caveat: scan carries of multi-GB sharded tables are
+        copied per iteration by XLA (docs/PERF_NOTES.md) — keep
+        steps_per_call=1 (plain train_step) for Criteo-scale tables; this
+        path is for the small/medium-table regime where step fusion wins.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from openrec_tpu.parallel.mesh import DATA_AXIS
+
+        if k not in self._multi_step_cache:
+            self._multi_step_cache[k] = self._build_multi_step(k)
+        stacked_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        stacked = {key: jax.device_put(np.asarray(v), stacked_sharding)
+                   for key, v in stacked.items()}
+        self.rng, step_rng = jax.random.split(self.rng)
+        self.params, self.opt_state, losses = self._multi_step_cache[k](
+            self.params, self.opt_state, stacked, step_rng)
+        self.global_step += k
+        return losses
 
     def train_steps_device(self, sampler, k: int):
         """K steps with on-device PER-SHARD sampling (each data shard

@@ -110,6 +110,19 @@ def unique_padded(ids, cap: int):
     return _compact_sorted(jnp.sort(ids), cap)
 
 
+class Columns:
+    """Explicit opt-in wrapper for the per-column dedup path: wrap a
+    [B, T] id matrix whose columns index DISJOINT, increasing id ranges
+    (the `unique_padded_columns` contract). A spec returning a bare 2-D
+    array is flattened through the ordinary flat-sort dedup — ndim alone
+    never selects the columns path, because a user's [B, 2] stacked
+    pos/neg ids (same id range in both columns) would silently violate
+    the global-sortedness SubTable.searchsorted requires."""
+
+    def __init__(self, ids_bt):
+        self.ids_bt = ids_bt
+
+
 def unique_padded_columns(ids_bt):
     """Per-column unique for [B, T] ids whose columns index DISJOINT,
     increasing id ranges (e.g. per-table offset ids: column t covers
@@ -166,8 +179,14 @@ def unique_padded_mixed(col_ids: ColumnIds):
     for t, (c, o) in enumerate(zip(col_ids.counts, col_ids.offsets)):
         if c <= B:
             segs_u.append(jnp.arange(o, o + c, dtype=ids_bt.dtype))
+            # Clamp contract-violating ids below the offset to c (out of
+            # bounds -> dropped): mode="drop" alone only drops indices
+            # PAST the end; a negative index would wrap numpy-style and
+            # mark the wrong row as touched.
+            idx = ids_bt[:, t] - o
+            idx = jnp.where(idx >= 0, idx, c)
             segs_v.append(jnp.zeros((c,), bool)
-                          .at[ids_bt[:, t] - o].set(True, mode="drop"))
+                          .at[idx].set(True, mode="drop"))
         else:
             u, v = unique_padded(ids_bt[:, t], B)
             segs_u.append(u)
@@ -254,8 +273,8 @@ def dlrm_fused_table_spec(model, columnwise: bool = False,
                     counts, offsets)}
     if mode == "columns":
         return {"embed_fused":
-                lambda batch: model.flat_sparse_ids(
-                    batch["sparse_features"])}
+                lambda batch: Columns(model.flat_sparse_ids(
+                    batch["sparse_features"]))}
     return {"embed_fused":
             lambda batch: model.flat_sparse_ids(
                 batch["sparse_features"]).reshape(-1)}
@@ -306,18 +325,19 @@ def make_sparse_train_step(model, table_specs,
     def step_core(params, opt_state, batch, rng):
         sparse_state: SparseAdamState = opt_state["sparse"]
 
-        # 1) unique ids + caps (static from batch shapes). A spec that
-        # returns a 2-D [B, T] id matrix opts into per-column dedup
-        # (unique_padded_columns' disjoint-increasing-ranges contract);
-        # id_cap does not apply there (cap = B per column).
+        # 1) unique ids + caps (static from batch shapes). The per-column
+        # dedup path (unique_padded_columns' disjoint-increasing-ranges
+        # contract) is explicit opt-in via the Columns wrapper; bare
+        # arrays of any rank flatten through the flat sort-dedup.
+        # id_cap does not apply to Columns/ColumnIds (cap = B per column).
         uids, valid = {}, {}
         for path, extract in specs.items():
             raw = extract(batch)
             if isinstance(raw, ColumnIds):
                 uids[path], valid[path] = unique_padded_mixed(raw)
                 continue
-            if getattr(raw, "ndim", 1) == 2:
-                uids[path], valid[path] = unique_padded_columns(raw)
+            if isinstance(raw, Columns):
+                uids[path], valid[path] = unique_padded_columns(raw.ids_bt)
                 continue
             all_ids = jnp.reshape(raw, (-1,))
             cap = id_cap or all_ids.shape[0]
