@@ -8,6 +8,14 @@ Workload = the reference's headline config (tf2_examples/bpr_citeulike.py:
 Interactions are synthetic at CiteULike scale (the real dataset isn't
 bundled with the reference either; throughput is data-independent).
 
+`value` is the fastest LIVE end-to-end rate: on-device rejection
+sampling fused with the K-step train program, every batch sampled fresh
+inside the timed loop (no pre-staging; the host sends one RNG key per
+dispatch). `modes` additionally reports `live` (host C++ sampler inside
+the timed loop, double-buffered host->device, fused K-step dispatches)
+and `prestaged` (device-step microbenchmark, feeder outside the timed
+region).
+
 vs_baseline: measured against a faithful TF/Keras re-statement of the
 reference's train step (Embedding lookups + GradientTape + keras Adam —
 exactly what tf2_examples/bpr_citeulike.py:33-39 executes) on this
@@ -124,16 +132,28 @@ def _measure_host_paths(steps_per_call):
         prestaged = max(prestaged, n_calls * steps_per_call * BATCH / dt)
 
     # Live feeder: same compiled program, batches produced concurrently
-    # by the Prefetcher while previous dispatches run.
-    feeder = Prefetcher(flat_sampler, num_workers=2, capacity=4)
-    fit = iter(feeder)
-    next(fit)  # warm the worker threads
+    # by the Prefetcher while previous dispatches run. The [k*B] flat
+    # batches reshape to [k, B] on the worker side of the queue and the
+    # host->device copies double-buffer through device_iterator so the
+    # transfer of call i+1 overlaps the device steps of call i.
+    from openrec_tpu.data.pipeline import device_iterator
+
+    def reshaped(it_):
+        for fb in it_:
+            yield {key: np.asarray(v).reshape(
+                (steps_per_call, -1) + np.asarray(v).shape[1:])
+                for key, v in fb.items()}
+
+    n_workers = int(os.environ.get("OPENREC_BENCH_FEED_WORKERS", "2"))
+    feeder = Prefetcher(flat_sampler, num_workers=n_workers, capacity=4)
+    fit = device_iterator(reshaped(iter(feeder)), prefetch=2)
+    next(fit)  # warm the worker threads + transfer pipeline
     live = 0.0
     try:
         for _ in range(3):
             t0 = time.perf_counter()
             for _ in range(n_calls):
-                tr.train_step_multi_flat(next(fit), steps_per_call)
+                tr._dispatch_multi(next(fit), steps_per_call)
             jax.block_until_ready(tr.params)
             dt = time.perf_counter() - t0
             live = max(live, n_calls * steps_per_call * BATCH / dt)
@@ -227,16 +247,23 @@ def get_baseline():
 def main():
     baseline = get_baseline()
     modes = measure_ours()
-    # Headline = the PRE-STAGED device-step rate (feeder outside the
-    # timed region); `modes` carries all three feed modes side by side so
-    # the artifact can't be read as end-to-end when it isn't — `live` is
-    # the end-to-end number on this 2-vCPU host, `device` the
-    # zero-host-input path (docs/PERF_NOTES.md).
-    ours = modes["prestaged"]
+    # Headline = the fastest LIVE end-to-end rate: every batch is
+    # sampled DURING the timed loop (no pre-staging anywhere). That is
+    # the `device` mode — on-device rejection sampling fused with the
+    # fused K-step train program; the host only sends one RNG key per
+    # 200 steps (the production recommendation, docs/PERF_NOTES.md).
+    # `live` is the host-C++-sampled end-to-end rate (feeder inside the
+    # timed loop on this 2-vCPU host), `prestaged` the device-step
+    # microbenchmark (feeder outside the timed region).
+    ours = modes.get("device", modes["live"])
     vs = ours / baseline if baseline else 0.0
     print(json.dumps({
-        "metric": "examples/s (BPR-CiteULike dim50 batch1000 train step; "
-                  "value=prestaged device-step rate, see modes)",
+        "metric": "examples/s (BPR-CiteULike dim50 batch1000, end-to-end"
+                  " with ON-DEVICE sampling inside the timed loop — "
+                  "fresh rejection-sampled batch every step, no "
+                  "pre-staging; `modes.live` = host-C++-sampled "
+                  "end-to-end, `modes.prestaged` = device-step "
+                  "microbenchmark)",
         "value": round(ours, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs, 3),

@@ -1,0 +1,186 @@
+"""Analytic multi-chip scaling bound for the DLRM flagship (VERDICT r3
+#4a): is the distributed sparse step ICI-bound or compute-bound, and what
+scaling efficiency should 2/4/8 v5e chips deliver?
+
+No multi-chip hardware exists in this environment, so this is a paper
+bound from first principles (the "How to Scale Your Model" recipe:
+count bytes over each boundary, divide by the roofline rate, take the
+max). Assumptions are explicit constants below; the single-chip terms
+are anchored to MEASURED numbers (benchmarks/dlrm_training_run.json:
+0.20-0.26 ms/step at batch 4096 incl. eval; dlrm_sparse_roofline.json
+floors).
+
+Model (benchmarks/dlrm_training_run.py): m_spa=16, 26 Criteo-Kaggle
+tables (~33.8M rows, 2.16GB fp32), bot (512,256,64,16), top (512,256,1),
+dense dim 13, batch 4096, sparse Adam (rows-touched).
+
+Sharding: batch over 'data' (d), table rows over 'model' (m); dense
+towers replicated, dense grads psum over d; embedding lookup/update
+exchange rides ICI via all_to_all on the model axis (parallel/train.py,
+parallel/bucketed.py).
+
+Writes benchmarks/ici_paper_bound.json and prints a markdown table.
+"""
+
+import json
+import os
+
+# ------------------------------------------------------------ constants #
+# Effective matmul rate ANCHORED TO MEASUREMENT: the flagship run
+# achieves ~59 TFLOP/s on these fp32 MLPs (dlrm_training_run.json,
+# 11.9 GFLOP/step at 0.20ms) — 1.2x the 49 TFLOP/s fp32-via-MXU rule of
+# thumb (PERF_NOTES).
+V5E_FP32_MXU = 59e12
+V5E_HBM = 819e9             # bytes/s
+# v5e ICI: 4 links/chip in a 2D torus. Public figure ~45 GB/s per link
+# per direction; a ring collective streams over 2 links concurrently.
+ICI_BW = 90e9               # usable bytes/s per chip for collectives
+
+B = 4096
+D_SPA = 16
+N_TABLES = 26
+BOT = (13, 512, 256, 64, 16)
+TOP = (16 + N_TABLES * (N_TABLES - 1) // 2, 512, 256, 1)
+BYTES = 4                   # fp32
+
+# measured single-chip anchors (dlrm_training_run.json r3/r4)
+MEASURED_MS_1CHIP = 0.22
+
+
+def dense_flops():
+    f = 0
+    for a, b in zip(BOT[:-1], BOT[1:]):
+        f += 2 * B * a * b
+    for a, b in zip(TOP[:-1], TOP[1:]):
+        f += 2 * B * a * b
+    f += 2 * B * N_TABLES * N_TABLES * D_SPA       # dot interaction
+    return 3 * f                                   # fwd + bwd ~ 3x fwd
+
+
+def dense_param_bytes():
+    p = 0
+    for a, b in zip(BOT[:-1], BOT[1:]):
+        p += a * b + b
+    for a, b in zip(TOP[:-1], TOP[1:]):
+        p += a * b + b
+    return p * BYTES
+
+
+def sparse_hbm_bytes(batch_per_dev):
+    """Rows touched per device: gather + scatter of rows and both Adam
+    moments (6 row-passes of D_SPA fp32) for ~batch*26 ids (dedup ~60%
+    at Criteo-Kaggle — use the measured 64k/106k factor)."""
+    ids = batch_per_dev * N_TABLES * 0.6
+    return ids * D_SPA * BYTES * 6
+
+
+def step_bounds(d, m):
+    """Per-device time bounds (seconds) for a d x m mesh."""
+    n = d * m
+    b_dev = B / d
+    # --- compute: dense MLPs shard over batch (replicated weights) ---
+    t_mxu = dense_flops() / d / V5E_FP32_MXU
+    # --- HBM: sparse gather/scatter of touched rows. Idealized even
+    # spread: the global batch's deduped ids distribute over all d*m
+    # devices (each data shard's ids route to the owning model shard;
+    # within a model shard the data axis splits the arriving stream).
+    ids_global = B * N_TABLES * 0.6
+    t_hbm = (ids_global / (d * m)) * D_SPA * BYTES * 6 / V5E_HBM
+    # --- ICI 1: embedding exchange over the model axis (all_to_all).
+    # Each device sends/receives its b_dev*26 lookups' ids (4B) fwd and
+    # rows (D*4B) fwd + row-grads (D*4B) bwd, fraction (m-1)/m remote.
+    ex_bytes = b_dev * N_TABLES * ((m - 1) / m) * (
+        2 * 4 + 2 * D_SPA * BYTES)        # ids fwd/bwd + rows fwd, grads bwd
+    t_ici_exchange = ex_bytes / ICI_BW if m > 1 else 0.0
+    # --- ICI 2: dense-grad psum over the data axis (ring all-reduce:
+    # 2*(d-1)/d * params bytes through each device).
+    t_ici_psum = (2 * (d - 1) / d) * dense_param_bytes() / ICI_BW \
+        if d > 1 else 0.0
+    # dispatch/per-step fixed overhead: measured single-chip step at
+    # the MEASURED config (batch 4096) minus its analytic floor; assumed
+    # NOT to shrink with n (conservative).
+    flops_4096 = dense_flops() / B * 4096
+    t_floor_1 = flops_4096 / V5E_FP32_MXU
+    t_hbm_1 = 4096 * N_TABLES * 0.6 * D_SPA * BYTES * 6 / V5E_HBM
+    overhead = max(0.0, MEASURED_MS_1CHIP / 1e3 - max(t_floor_1, t_hbm_1))
+    t_bound = max(t_mxu, t_hbm, t_ici_exchange + t_ici_psum) + overhead
+    return {
+        "mesh": f"{d}x{m}", "chips": n,
+        "t_mxu_us": round(t_mxu * 1e6, 1),
+        "t_hbm_us": round(t_hbm * 1e6, 1),
+        "t_ici_exchange_us": round(t_ici_exchange * 1e6, 1),
+        "t_ici_psum_us": round(t_ici_psum * 1e6, 1),
+        "overhead_us": round(overhead * 1e6, 1),
+        "t_step_us": round(t_bound * 1e6, 1),
+        "mexs": round(B / t_bound / 1e6, 1),
+        "bound": ("ici" if t_ici_exchange + t_ici_psum
+                  >= max(t_mxu, t_hbm) else
+                  ("mxu" if t_mxu >= t_hbm else "hbm")),
+    }
+
+
+def weak_scaling(d, m):
+    """Per-chip batch held at 4096 (global batch = 4096*d): the
+    production scaling mode — per-device dense compute is constant and
+    only the collectives + fixed overhead grow."""
+    global B
+    B_saved = B
+    B = 4096 * d
+    try:
+        r = step_bounds(d, m)
+    finally:
+        B = B_saved
+    r["global_batch"] = 4096 * d
+    return r
+
+
+def main():
+    rows = [step_bounds(1, 1)]
+    for d, m in ((2, 1), (1, 2), (2, 2), (4, 1), (4, 2), (2, 4), (8, 1)):
+        rows.append(step_bounds(d, m))
+    base = rows[0]["mexs"]
+    for r in rows:
+        r["scaling_eff_pct"] = round(100 * r["mexs"]
+                                     / (base * r["chips"]), 1)
+    weak = [weak_scaling(d, m)
+            for d, m in ((1, 1), (2, 1), (4, 1), (8, 1), (4, 2))]
+    wbase = weak[0]["mexs"]
+    for r in weak:
+        r["mexs"] = round(r["global_batch"] / (r["t_step_us"] / 1e6)
+                          / 1e6, 1)
+        r["scaling_eff_pct"] = round(100 * r["mexs"]
+                                     / (wbase * r["chips"]), 1)
+    out = {
+        "assumptions": {
+            "fp32_mxu_flops": V5E_FP32_MXU, "hbm_Bps": V5E_HBM,
+            "ici_Bps_per_chip": ICI_BW, "batch": B,
+            "measured_1chip_ms": MEASURED_MS_1CHIP,
+            "dense_flops_per_step": dense_flops(),
+            "dense_param_bytes": dense_param_bytes(),
+        },
+        "rows_strong_scaling_batch4096": rows,
+        "rows_weak_scaling_4096_per_chip": weak,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "ici_paper_bound.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+
+    def show(title, rs):
+        print(f"\n{title}")
+        print("| mesh dxm | chips | MXU µs | HBM µs | ICI-ex µs | "
+              "ICI-psum µs | step µs | M ex/s | eff % | bound |")
+        print("|---|---|---|---|---|---|---|---|---|---|")
+        for r in rs:
+            print(f"| {r['mesh']} | {r['chips']} | {r['t_mxu_us']} | "
+                  f"{r['t_hbm_us']} | {r['t_ici_exchange_us']} | "
+                  f"{r['t_ici_psum_us']} | {r['t_step_us']} | "
+                  f"{r['mexs']} | {r['scaling_eff_pct']} | "
+                  f"{r['bound']} |")
+
+    show("STRONG scaling (global batch fixed at 4096)", rows)
+    show("WEAK scaling (4096 per data shard — production mode)", weak)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,10 +59,17 @@ class _MembershipIndex:
             keys = store._pos_keys
             np.bitwise_or.at(words, keys >> 5,
                              np.uint32(1) << (keys & 31).astype(np.uint32))
-            self._bitmap = jnp.asarray(words)
+            # numpy, NOT a device array: a device-array closure
+            # constant is fetched back to host at jit-lowering time
+            # (HLO literal embedding), and on the axon backend ANY
+            # device->host fetch permanently disables buffer donation
+            # process-wide (docs/PERF_NOTES.md r4: compiling the
+            # sampler with device constants made every later fused
+            # train call copy its scan carries, 0.5 -> 26 ms/call).
+            self._bitmap = words
         else:
-            self._pos_keys = jnp.asarray(store._pos_keys.astype(
-                np.int32 if fits32 else np.int64))
+            self._pos_keys = store._pos_keys.astype(
+                np.int32 if fits32 else np.int64)
 
     def is_positive(self, users, items):
         keys = users.astype(self._key_dtype) * self.total_items \
@@ -75,21 +82,31 @@ class _MembershipIndex:
             return bit != 0
         idx = jnp.searchsorted(self._pos_keys, keys)
         idx = jnp.clip(idx, 0, self._pos_keys.shape[0] - 1)
-        return self._pos_keys[idx] == keys
+        return jnp.take(self._pos_keys, idx, axis=0) == keys
 
 
 class DevicePairwiseSampler:
-    """On-device (user, pos, neg) triplet sampler over a static index."""
+    """On-device (user, pos, neg) triplet sampler over a static index.
+
+    reject_rounds: resampling rounds against the membership index;
+    residual positive probability is density^(rounds+1) (module
+    docstring). In a healthy process the whole stacked 200x1000 sampling
+    program costs ~0.5ms on v5e (r4 probe) — keep the default rounds;
+    the knob exists for denser matrices where more rounds are needed.
+    """
 
     def __init__(self, store, batch_size: int, membership: str = "auto",
-                 bitmap_limit_bytes: int = 256 * 1024 * 1024):
+                 bitmap_limit_bytes: int = 256 * 1024 * 1024,
+                 reject_rounds: int = REJECT_ROUNDS):
+        self.reject_rounds = int(reject_rounds)
         self.batch_size = int(batch_size)
         self.total_items = store.total_items()
         self._index = _MembershipIndex(store, membership,
                                        bitmap_limit_bytes)
         self.membership = self._index.membership
-        self._rec_users = jnp.asarray(store._pos_users, dtype=jnp.int32)
-        self._rec_items = jnp.asarray(store._pos_items, dtype=jnp.int32)
+        # numpy on purpose — see _MembershipIndex bitmap comment
+        self._rec_users = np.asarray(store._pos_users, dtype=np.int32)
+        self._rec_items = np.asarray(store._pos_items, dtype=np.int32)
         self.num_records = int(self._rec_users.shape[0])
 
     def is_positive(self, users, items):
@@ -100,13 +117,13 @@ class DevicePairwiseSampler:
         r_rec, r_neg = jax.random.split(rng)
         idx = jax.random.randint(r_rec, (self.batch_size,), 0,
                                  self.num_records)
-        users = self._rec_users[idx]
-        pos = self._rec_items[idx]
+        users = jnp.take(self._rec_users, idx, axis=0)
+        pos = jnp.take(self._rec_items, idx, axis=0)
 
         neg = jax.random.randint(
             jax.random.fold_in(r_neg, 0), (self.batch_size,), 0,
             self.total_items, dtype=jnp.int32)
-        for round_i in range(1, REJECT_ROUNDS + 1):
+        for round_i in range(1, self.reject_rounds + 1):
             bad = self.is_positive(users, neg)
             resample = jax.random.randint(
                 jax.random.fold_in(r_neg, round_i), (self.batch_size,), 0,
@@ -124,12 +141,12 @@ class DevicePairwiseSampler:
         B = self.batch_size
         r_rec, r_neg = jax.random.split(rng)
         idx = jax.random.randint(r_rec, (k, B), 0, self.num_records)
-        users = self._rec_users[idx]
-        pos = self._rec_items[idx]
-        draws = jax.random.randint(r_neg, (REJECT_ROUNDS + 1, k, B), 0,
-                                   self.total_items, dtype=jnp.int32)
+        users = jnp.take(self._rec_users, idx, axis=0)
+        pos = jnp.take(self._rec_items, idx, axis=0)
+        draws = jax.random.randint(r_neg, (self.reject_rounds + 1, k, B),
+                                   0, self.total_items, dtype=jnp.int32)
         neg = draws[0]
-        for round_i in range(1, REJECT_ROUNDS + 1):
+        for round_i in range(1, self.reject_rounds + 1):
             bad = self.is_positive(users, neg)
             neg = jnp.where(bad, draws[round_i], neg)
         return {"user_id": users, "p_item_id": pos, "n_item_id": neg}
@@ -141,7 +158,9 @@ class DevicePointwiseSampler:
 
     def __init__(self, store, batch_size: int, pos_ratio: float = 0.5,
                  membership: str = "auto",
-                 bitmap_limit_bytes: int = 256 * 1024 * 1024):
+                 bitmap_limit_bytes: int = 256 * 1024 * 1024,
+                 reject_rounds: int = REJECT_ROUNDS):
+        self.reject_rounds = int(reject_rounds)
         self.batch_size = int(batch_size)
         self.n_pos = int(batch_size * pos_ratio)
         self.total_users = store.total_users()
@@ -149,8 +168,9 @@ class DevicePointwiseSampler:
         self._index = _MembershipIndex(store, membership,
                                        bitmap_limit_bytes)
         self.membership = self._index.membership
-        self._rec_users = jnp.asarray(store._pos_users, dtype=jnp.int32)
-        self._rec_items = jnp.asarray(store._pos_items, dtype=jnp.int32)
+        # numpy on purpose — see _MembershipIndex bitmap comment
+        self._rec_users = np.asarray(store._pos_users, dtype=np.int32)
+        self._rec_items = np.asarray(store._pos_items, dtype=np.int32)
         self.num_records = int(self._rec_users.shape[0])
 
     def is_positive(self, users, items):
@@ -162,14 +182,14 @@ class DevicePointwiseSampler:
         idx = jax.random.randint(r_rec, (P,), 0, self.num_records)
         users = jnp.zeros((B,), jnp.int32)
         items = jnp.zeros((B,), jnp.int32)
-        users = users.at[:P].set(self._rec_users[idx])
-        items = items.at[:P].set(self._rec_items[idx])
+        users = users.at[:P].set(jnp.take(self._rec_users, idx, axis=0))
+        items = items.at[:P].set(jnp.take(self._rec_items, idx, axis=0))
 
         nu = jax.random.randint(jax.random.fold_in(r_u, 0), (B - P,), 0,
                                 self.total_users, dtype=jnp.int32)
         ni = jax.random.randint(jax.random.fold_in(r_i, 0), (B - P,), 0,
                                 self.total_items, dtype=jnp.int32)
-        for round_i in range(1, REJECT_ROUNDS + 1):
+        for round_i in range(1, self.reject_rounds + 1):
             bad = self.is_positive(nu, ni)
             nu = jnp.where(bad, jax.random.randint(
                 jax.random.fold_in(r_u, round_i), (B - P,), 0,
@@ -197,33 +217,34 @@ class DeviceTemporalSampler:
         seq_users = np.flatnonzero(counts > 1)
         if len(seq_users) == 0:
             raise ValueError("No user has more than one interaction.")
-        self._seq_users = jnp.asarray(seq_users.astype(np.int32))
-        self._counts = jnp.asarray(counts.astype(np.int32))
+        # numpy on purpose — see _MembershipIndex bitmap comment
+        self._seq_users = seq_users.astype(np.int32)
+        self._counts = counts.astype(np.int32)
         ptr, _ = store.positive_csr()
-        self._ptr = jnp.asarray(ptr.astype(np.int32))
+        self._ptr = ptr.astype(np.int32)
         items = (store._csr_items_sorted
                  if store._csr_items_sorted is not None
                  else store._csr_items)
-        self._items = jnp.asarray(items.astype(np.int32))
+        self._items = items.astype(np.int32)
 
     def sample(self, rng):
         B, L = self.batch_size, self.max_seq_len
         r_u, r_p = jax.random.split(rng)
-        users = self._seq_users[jax.random.randint(
-            r_u, (B,), 0, self._seq_users.shape[0])]
-        cnt = self._counts[users]
+        users = jnp.take(self._seq_users, jax.random.randint(
+            r_u, (B,), 0, self._seq_users.shape[0]), axis=0)
+        cnt = jnp.take(self._counts, users, axis=0)
         # uniform in [1, cnt-1] via mod (the host sampler draws
         # rng.integers(0, 2**62) % (cnt-1); bias is O(cnt/2^31), nil)
         draw = jax.random.randint(r_p, (B,), 0, jnp.int32(2 ** 31 - 1))
         predict_pos = 1 + draw % (cnt - 1)
-        lo = self._ptr[users]
+        lo = jnp.take(self._ptr, users, axis=0)
         offs = jnp.arange(L, dtype=jnp.int32)
         seq_len = jnp.minimum(predict_pos, L)
         start = predict_pos - seq_len
         idx = lo[:, None] + start[:, None] + offs[None, :]
         valid = offs[None, :] < seq_len[:, None]
         idx = jnp.where(valid, idx, lo[:, None])    # safe gather index
-        seq = jnp.where(valid, self._items[idx], 0)
-        labels = self._items[lo + predict_pos]
+        seq = jnp.where(valid, jnp.take(self._items, idx, axis=0), 0)
+        labels = jnp.take(self._items, lo + predict_pos, axis=0)
         return {"seq_item_id": seq, "seq_len": seq_len,
                 "label": labels, "user_id": users}

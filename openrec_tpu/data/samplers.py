@@ -123,6 +123,14 @@ class PairwiseSampler(BatchSampler):
     When the native library is available (openrec_tpu.native, built from
     sampler.cpp) and the store has no pre-sampled negatives, the join +
     rejection loop runs in one C++ pass; otherwise vectorized numpy.
+
+    The native non-chronological path applies the epoch permutation to a
+    PRIVATE COPY of the record arrays (one C++ Fisher-Yates per epoch,
+    sampler.cpp shuffle_pairs) so each batch is a sequential window —
+    no numpy permutation pass and no per-sample random record gathers —
+    and draws negatives with the block-prefetched rejection kernel
+    (pairwise_negatives_seq). Same every-record-once-per-epoch
+    semantics, different (still uniform) stream.
     """
 
     def __init__(self, store, batch_size, seed=0, use_native=None,
@@ -141,15 +149,55 @@ class PairwiseSampler(BatchSampler):
             self._rec_items = np.ascontiguousarray(
                 store._pos_items, dtype=np.int32)
             self._hash_table = native.build_hash_table(store._pos_keys)
+            self._seq_pos = None      # lazily shuffled on first sample
+
+    def _reshuffle(self):
+        from openrec_tpu import native
+        if self._seq_pos is None:
+            # private copies: the epoch shuffle mutates in place and the
+            # arrays may be shared with the store / sibling workers
+            self._rec_users = self._rec_users.copy()
+            self._rec_items = self._rec_items.copy()
+        native.shuffle_pairs(self._rec_users, self._rec_items,
+                             int(self.rng.integers(0, 2 ** 63)))
+        self._seq_pos = 0
+
+    def _next_window(self, b):
+        """Sequential [b] window over the epoch-shuffled record copies.
+        Returned arrays are fresh copies (the underlying buffers are
+        reshuffled at epoch wrap while consumers may still hold the
+        batch)."""
+        n_rec = len(self._rec_users)
+        if self._seq_pos is None:
+            self._reshuffle()
+        u = np.empty(b, np.int32)
+        p = np.empty(b, np.int32)
+        filled = 0
+        while filled < b:
+            if self._seq_pos >= n_rec:
+                self._reshuffle()
+            take = min(b - filled, n_rec - self._seq_pos)
+            u[filled:filled + take] = \
+                self._rec_users[self._seq_pos:self._seq_pos + take]
+            p[filled:filled + take] = \
+                self._rec_items[self._seq_pos:self._seq_pos + take]
+            self._seq_pos += take
+            filled += take
+        return u, p
 
     def sample(self):
         if self.use_native:
             from openrec_tpu import native
-            idx = self._next_record_indices(self.batch_size)
             seed = int(self.rng.integers(0, 2 ** 63))
-            u, p, n = native.pairwise_batch_hash(
-                self._hash_table, self._rec_users, self._rec_items,
-                idx, self.store.total_items(), seed)
+            if self.chronological:
+                idx = self._next_record_indices(self.batch_size)
+                u, p, n = native.pairwise_batch_hash(
+                    self._hash_table, self._rec_users, self._rec_items,
+                    idx, self.store.total_items(), seed)
+                return {"user_id": u, "p_item_id": p, "n_item_id": n}
+            u, p = self._next_window(self.batch_size)
+            n = native.pairwise_negatives_seq(
+                self._hash_table, u, self.store.total_items(), seed)
             return {"user_id": u, "p_item_id": p, "n_item_id": n}
         rec = self._next_records(self.batch_size)
         user_id = np.asarray(rec["user_id"], dtype=np.int32)
@@ -158,6 +206,12 @@ class PairwiseSampler(BatchSampler):
             user_id, rng=self.rng).astype(np.int32)
         return {"user_id": user_id, "p_item_id": p_item_id,
                 "n_item_id": n_item_id}
+
+    def with_seed(self, seed):
+        clone = super().with_seed(seed)
+        if clone.use_native and not clone.chronological:
+            clone._seq_pos = None     # fresh private copy + shuffle
+        return clone
 
 
 class NPairwiseSampler(BatchSampler):

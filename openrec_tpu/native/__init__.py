@@ -81,6 +81,11 @@ def load():
             i64p, ctypes.c_int64, i32p, i32p, i64p, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_uint64, ctypes.c_int32,
             ctypes.c_int32, i32p, i32p, i32p]
+        lib.shuffle_pairs.argtypes = [
+            i32p, i32p, ctypes.c_int64, ctypes.c_uint64]
+        lib.pairwise_negatives_seq.argtypes = [
+            i64p, ctypes.c_int64, i32p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32, i32p]
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         lib.stratified_pointwise_hash.argtypes = [
             i64p, ctypes.c_int64, i32p, i32p, i64p, ctypes.c_int64,
@@ -170,6 +175,35 @@ def stratified_pointwise_batch_hash(
         n_pos, int(n_neg), total_users, total_items, seed & (2 ** 64 - 1),
         max_rounds, out_u, out_i, out_l)
     return out_u, out_i, out_l
+
+
+def shuffle_pairs(users: np.ndarray, items: np.ndarray, seed: int):
+    """In-place Fisher-Yates co-shuffle of aligned int32 arrays (the
+    epoch permutation, applied to the records themselves so batch windows
+    read sequentially)."""
+    lib = load()
+    assert lib is not None
+    assert users.flags.c_contiguous and items.flags.c_contiguous
+    lib.shuffle_pairs(users, items, len(users), seed & (2 ** 64 - 1))
+
+
+def pairwise_negatives_seq(hash_table: np.ndarray, users: np.ndarray,
+                           total_items: int, seed: int,
+                           max_rounds: int = 64,
+                           threads: int = None) -> np.ndarray:
+    """One rejected uniform negative per user of a SEQUENTIAL window —
+    the block-prefetched fast path (sampler.cpp negatives_seq_range)."""
+    if threads is None:
+        threads = int(os.environ.get("OPENREC_TPU_SAMPLER_THREADS", "1"))
+    lib = load()
+    assert lib is not None
+    users = np.ascontiguousarray(users, dtype=np.int32)
+    out = np.empty(len(users), dtype=np.int32)
+    lib.pairwise_negatives_seq(hash_table, len(hash_table), users,
+                               len(users), total_items,
+                               seed & (2 ** 64 - 1), max_rounds, threads,
+                               out)
+    return out
 
 
 def pairwise_batch_hash(hash_table: np.ndarray, rec_users: np.ndarray,

@@ -221,6 +221,97 @@ void stratified_pointwise_hash(
   }
 }
 
+// Fisher-Yates co-shuffle of the (user, item) record arrays — the epoch
+// permutation computed in place so batch windows read SEQUENTIALLY
+// (removes both the numpy permutation pass and the per-sample random
+// record gathers of the record_idx path).
+void shuffle_pairs(int32_t* users, int32_t* items, int64_t n,
+                   uint64_t seed) {
+  Rng rng(seed);
+  for (int64_t i = n - 1; i > 0; --i) {
+    int64_t j = (int64_t)rng.bounded((uint64_t)(i + 1));
+    int32_t tu = users[i]; users[i] = users[j]; users[j] = tu;
+    int32_t ti = items[i]; items[i] = items[j]; items[j] = ti;
+  }
+}
+
+// Negatives for a SEQUENTIAL user window, block-prefetched: the hash
+// table (4MB+ at real scales) exceeds L2, so a dependent per-sample
+// probe pays DRAM latency serially; issuing a block of prefetches first
+// overlaps ~BLK misses (memory-level parallelism). The rare slow cases
+// (occupied-but-different slot, or a positive hit needing resampling)
+// fall back to the scalar rejection loop.
+static void negatives_seq_range(const int64_t* table, uint64_t mask,
+                                const int32_t* users, int64_t lo,
+                                int64_t hi, int64_t total_items,
+                                uint64_t seed, int32_t max_rounds,
+                                int32_t* out_neg) {
+  Rng rng(seed);
+  constexpr int64_t BLK = 32;
+  int64_t cand[BLK];
+  int64_t key[BLK];
+  uint64_t pos[BLK];
+  for (int64_t base = lo; base < hi; base += BLK) {
+    int64_t m = hi - base < BLK ? hi - base : BLK;
+    for (int64_t j = 0; j < m; ++j) {
+      cand[j] = (int64_t)rng.bounded((uint64_t)total_items);
+      key[j] = (int64_t)users[base + j] * total_items + cand[j];
+      pos[j] = hash_key(key[j]) & mask;
+      __builtin_prefetch(&table[pos[j]], 0, 1);
+    }
+    for (int64_t j = 0; j < m; ++j) {
+      int64_t v = table[pos[j]];
+      if (v == kEmpty) {                      // fast path: miss => valid
+        out_neg[base + j] = (int32_t)cand[j];
+        continue;
+      }
+      // slow path: walk the probe chain; resample on a positive hit
+      int64_t c = cand[j];
+      int64_t k = key[j];
+      uint64_t p = pos[j];
+      for (int32_t rd = 0; rd <= max_rounds; ++rd) {
+        while (true) {
+          if (v == k) break;                  // positive -> resample
+          if (v == kEmpty) { rd = max_rounds + 1; break; }  // valid
+          p = (p + 1) & mask;
+          v = table[p];
+        }
+        if (rd > max_rounds) break;
+        c = (int64_t)rng.bounded((uint64_t)total_items);
+        k = (int64_t)users[base + j] * total_items + c;
+        p = hash_key(k) & mask;
+        v = table[p];
+      }
+      out_neg[base + j] = (int32_t)c;
+    }
+  }
+}
+
+void pairwise_negatives_seq(const int64_t* table, int64_t capacity,
+                            const int32_t* users, int64_t batch,
+                            int64_t total_items, uint64_t seed,
+                            int32_t max_rounds, int32_t threads,
+                            int32_t* out_neg) {
+  uint64_t mask = (uint64_t)capacity - 1;
+  if (threads <= 1 || batch < 4096) {
+    negatives_seq_range(table, mask, users, 0, batch, total_items, seed,
+                        max_rounds, out_neg);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int64_t chunk = (batch + threads - 1) / threads;
+  for (int32_t t = 0; t < threads; ++t) {
+    int64_t lo = (int64_t)t * chunk;
+    int64_t hi = lo + chunk < batch ? lo + chunk : batch;
+    if (lo >= hi) break;
+    pool.emplace_back(negatives_seq_range, table, mask, users, lo, hi,
+                      total_items,
+                      seed + (uint64_t)t * 0x9E3779B97f4A7C15ULL,
+                      max_rounds, out_neg);
+  }
+  for (auto& th : pool) th.join();
+}
+
 // out[i] = 1 iff (users[i], items[i]) is an observed positive.
 void is_positive_batch(const int64_t* pos_keys, int64_t n_keys,
                        const int64_t* users, const int64_t* items,

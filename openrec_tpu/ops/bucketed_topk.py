@@ -140,6 +140,137 @@ def _bucket_max_kernel(u_ref, v_ref, b_ref, vals_ref, ids_ref, *,
     ids_ref[:] = j * item_block + acc_c * _LANES + lane
 
 
+def _bucket_max2_kernel(u_ref, v_ref, b_ref, vals1_ref, ids1_ref,
+                        vals2_ref, ids2_ref, *, chunk, n_chunks,
+                        acc_dtype):
+    """Two-level variant (VERDICT r3 #6): per bucket keep the TOP-2
+    (value, row-code) pairs, so a true top-k item is lost only when
+    THREE top-k items share a bucket — the collision loss is squared
+    (P_miss ≈ C(k-1,2)/L² vs (k-1)/2L), letting 0.995+ recall ride much
+    larger buckets.
+
+    Merge rule for two (first, second) pairs a, b (a1>=a2, b1>=b2):
+      first  = max(a1, b1)
+      second = max(min(a1, b1), a2, b2)   # b2<=b1 makes this exact
+    ~3x the VPU select work of the top-1 kernel per fold; measured
+    numbers in benchmarks/pallas_topk.json (two_level entries).
+    Ties: strict `>` everywhere — the FIRST slot keeps the earliest
+    index (argmax convention); the second slot's tie order among exact
+    score ties is unspecified (scores themselves stay exact).
+    """
+    j = pl.program_id(1)
+    ub = u_ref.shape[0]
+    item_block = chunk * n_chunks
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ub, _LANES), 1)
+    neg = jnp.full((ub, _LANES), -jnp.inf, acc_dtype)
+    zero = jnp.zeros((ub, _LANES), jnp.int32)
+    acc = (neg, zero, neg, zero)          # v1, c1, v2, c2
+    n_sub = chunk // _LANES
+
+    def merge(a, b):
+        a1v, a1c, a2v, a2c = a
+        b1v, b1c, b2v, b2c = b
+        take_b = b1v > a1v
+        v1 = jnp.where(take_b, b1v, a1v)
+        c1 = jnp.where(take_b, b1c, a1c)
+        lose_v = jnp.where(take_b, a1v, b1v)
+        lose_c = jnp.where(take_b, a1c, b1c)
+        s_v = jnp.where(b2v > a2v, b2v, a2v)
+        s_c = jnp.where(b2v > a2v, b2c, a2c)
+        take_l = lose_v > s_v
+        v2 = jnp.where(take_l, lose_v, s_v)
+        c2 = jnp.where(take_l, lose_c, s_c)
+        return v1, c1, v2, c2
+
+    for c in range(n_chunks):
+        v_c = v_ref[c * chunk:(c + 1) * chunk, :]
+        s = jax.lax.dot_general(
+            u_ref[:], v_c,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        ) + b_ref[:, c * chunk:(c + 1) * chunk].astype(acc_dtype)
+        # binary tree over the n_sub lane blocks, top-2 state per node
+        nodes = [(s[:, a * _LANES:(a + 1) * _LANES],
+                  c * n_sub + a, neg, zero) for a in range(n_sub)]
+        while len(nodes) > 1:
+            nxt = []
+            for p in range(0, len(nodes) - 1, 2):
+                nxt.append(merge(nodes[p], nodes[p + 1]))
+            if len(nodes) % 2:
+                nxt.append(nodes[-1])
+            nodes = nxt
+        acc = merge(acc, nodes[0])
+
+    v1, c1, v2, c2 = acc
+    vals1_ref[:] = v1
+    ids1_ref[:] = j * item_block + c1 * _LANES + lane
+    vals2_ref[:] = v2
+    ids2_ref[:] = j * item_block + c2 * _LANES + lane
+
+
+def bucket_max2_scores(user_vecs, item_table, item_bias,
+                       bucket: int = 256, item_tile: int = 4096,
+                       user_block: int = 256, interpret: bool = False):
+    """Two-level bucket reduction: [B, L] (top1 vals, top1 ids,
+    top2 vals, top2 ids); same strided bucket layout as
+    bucket_max_scores."""
+    B, D = user_vecs.shape
+    I = item_table.shape[0]
+    itemsize = jnp.dtype(item_table.dtype).itemsize
+    while bucket > 1 and bucket * _LANES * D * itemsize > _MAX_VBLOCK_BYTES:
+        bucket //= 2
+    item_block = bucket * _LANES
+    chunk = max(_LANES, min(_round_up(item_tile, _LANES), item_block))
+    while item_block % chunk:
+        chunk -= _LANES
+    n_chunks = item_block // chunk
+
+    I_pad = _round_up(I, item_block)
+    UB = min(user_block, _round_up(B, 8))
+    B_pad = _round_up(B, UB)
+    L = I_pad // bucket
+
+    u = jnp.zeros((B_pad, D), user_vecs.dtype).at[:B].set(user_vecs)
+    v = jnp.zeros((I_pad, D), item_table.dtype).at[:I].set(item_table)
+    b = jnp.full((1, I_pad), -1e30, jnp.float32)
+    if item_bias is not None:
+        b = b.at[0, :I].set(jnp.reshape(item_bias, (-1,)).astype(
+            jnp.float32))
+    else:
+        b = b.at[0, :I].set(0.0)
+
+    kernel = functools.partial(_bucket_max2_kernel, chunk=chunk,
+                               n_chunks=n_chunks, acc_dtype=jnp.float32)
+    grid = (B_pad // UB, I_pad // item_block)
+    out_spec = pl.BlockSpec((UB, _LANES), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    v1, i1, v2, i2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((UB, D), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((item_block, D), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, item_block), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((B_pad, L), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, L), jnp.int32),
+            jax.ShapeDtypeStruct((B_pad, L), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, L), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=64 << 20,
+        ) if _HAS_PALLAS and not interpret else None,
+        interpret=interpret,
+    )(u, v, b)
+    return v1[:B], i1[:B], v2[:B], i2[:B]
+
+
 def bucket_max_scores(user_vecs, item_table, item_bias,
                       bucket: int = 128, item_tile: int = 4096,
                       user_block: int = 256, interpret: bool = False,
@@ -227,7 +358,8 @@ def pallas_score_topk(user_vecs, item_table, item_bias, k: int,
                       bucket: int = 128, item_tile: int = 4096,
                       user_block: int = 256, interpret: bool = False,
                       recall_target: float | None = None,
-                      reduction: str = "tree"):
+                      reduction: str = "tree",
+                      per_bucket: int = 1):
     """(top_vals, top_ids): fused Pallas bucket-max pass + exact top-k
     over the [B, L] maxima. Same guarantee as `lax.approx_max_k` at
     reduction ratio `bucket`: every returned score/id exact; recall < 1
@@ -236,11 +368,25 @@ def pallas_score_topk(user_vecs, item_table, item_bias, k: int,
     recall_target: if given, overrides `bucket` with the largest power of
     two whose expected recall (1 - (k-1)/(2L), the birthday bound for k
     uniform winners over L buckets) meets the target — the same sizing
-    rule approx_max_k applies to its PartialReduce ratio."""
+    rule approx_max_k applies to its PartialReduce ratio.
+
+    per_bucket=2 switches to the two-level kernel (top-2 kept per
+    bucket): recall loss needs THREE top-k items in one bucket, so the
+    sizing law becomes L >= sqrt(C(k-1,2)/(1-target)) — far larger
+    buckets at high recall floors (0.995+), at ~3x the in-kernel VPU
+    select work. The final exact top-k runs over the concatenated
+    [B, 2L] candidates."""
     I = item_table.shape[0]
     assert k <= I, (k, I)
+    assert per_bucket in (1, 2), per_bucket
     if recall_target is not None and k > 1:
-        l_min = (k - 1) / (2.0 * max(1e-6, 1.0 - recall_target))
+        if per_bucket == 2:
+            import math
+            pairs = (k - 1) * (k - 2) / 2.0
+            l_min = math.sqrt(pairs / max(1e-6, 1.0 - recall_target)) \
+                if pairs > 0 else 1.0
+        else:
+            l_min = (k - 1) / (2.0 * max(1e-6, 1.0 - recall_target))
         bucket = max(1, min(int(bucket), int(I / max(l_min, 1.0))))
         while bucket & (bucket - 1):          # round down to power of two
             bucket &= bucket - 1
@@ -260,12 +406,23 @@ def pallas_score_topk(user_vecs, item_table, item_bias, k: int,
         n = -(-I // blk)
         return _LANES * (n - 1) + min(I - (n - 1) * blk, _LANES)
 
+    # (per_bucket=2 could count 2 candidates per bucket, but a bucket
+    # holding a single real item fills its second slot with -1e30
+    # padding — require k first slots to stay safe for any layout)
     while bucket > 1 and _nonempty_buckets(bucket) < k:
         bucket //= 2
-    vals, ids = bucket_max_scores(user_vecs, item_table, item_bias,
-                                  bucket=bucket, item_tile=item_tile,
-                                  user_block=user_block,
-                                  interpret=interpret,
-                                  reduction=reduction)
+    if per_bucket == 2:
+        v1, i1, v2, i2 = bucket_max2_scores(
+            user_vecs, item_table, item_bias, bucket=bucket,
+            item_tile=item_tile, user_block=user_block,
+            interpret=interpret)
+        vals = jnp.concatenate([v1, v2], axis=1)
+        ids = jnp.concatenate([i1, i2], axis=1)
+    else:
+        vals, ids = bucket_max_scores(user_vecs, item_table, item_bias,
+                                      bucket=bucket, item_tile=item_tile,
+                                      user_block=user_block,
+                                      interpret=interpret,
+                                      reduction=reduction)
     top_vals, pos = jax.lax.top_k(vals, k)
     return top_vals, jnp.take_along_axis(ids, pos, axis=1)

@@ -204,11 +204,26 @@ class Trainer:
 
         return device_loop
 
-    def train_steps_device(self, sampler, k: int):
-        """K optimizer steps with ON-DEVICE batch sampling — the whole
-        loop (sampling + step + hooks) is one XLA program; the host only
+    def train_steps_device(self, sampler, k: int, fused: bool = False):
+        """K optimizer steps with ON-DEVICE batch sampling; the host only
         supplies an RNG key. `sampler` is a Device*Sampler
-        (openrec_tpu.data.device_sampler)."""
+        (openrec_tpu.data.device_sampler).
+
+        When the sampler supports sample_stacked, sampling runs as its
+        OWN device dispatch feeding the same fused K-step program the
+        host paths use (two async dispatches per call, data stays on
+        device) — ~1.0ms per 200-step call at bench scale, ~200M ex/s
+        end-to-end (r4 probe, docs/PERF_NOTES.md). `fused=True` forces
+        the single-program scan (the parallel mesh path still fuses —
+        per-shard sampling must run inside shard_map)."""
+        if not fused and hasattr(sampler, "sample_stacked"):
+            skey = (id(sampler), k, "sample")
+            if skey not in self._multi_step_cache:
+                self._multi_step_cache[skey] = jax.jit(
+                    lambda rng: sampler.sample_stacked(rng, k))
+            self.rng, s_rng = jax.random.split(self.rng)
+            stacked = self._multi_step_cache[skey](s_rng)
+            return self._dispatch_multi(stacked, k)
         key = (id(sampler), k)
         if key not in self._multi_step_cache:
             self._multi_step_cache[key] = self._build_device_loop(sampler,

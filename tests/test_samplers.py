@@ -24,6 +24,42 @@ def test_pairwise_sampler_shapes_and_validity():
     assert not store.is_positive(batch["user_id"], batch["n_item_id"]).any()
 
 
+def test_pairwise_native_seq_epoch_semantics():
+    """The native sequential-window path (epoch shuffle applied to
+    private record copies + block-prefetched negatives) keeps the
+    every-record-once-per-epoch contract and valid triplets."""
+    from openrec_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native sampler unavailable")
+    store = _store()
+    s = PairwiseSampler(store, batch_size=50, seed=3)
+    assert s.use_native
+    n_rec = store.total_records()
+    n_batches = (2 * n_rec) // 50
+    pairs = []
+    for _ in range(n_batches):
+        b = s.sample()
+        assert store.is_positive(b["user_id"], b["p_item_id"]).all()
+        assert not store.is_positive(b["user_id"], b["n_item_id"]).any()
+        pairs.append(np.stack([b["user_id"], b["p_item_id"]], axis=1))
+    seen = np.concatenate(pairs)[:n_rec]
+    want = np.stack([store._pos_users, store._pos_items], axis=1)
+    # first epoch covers every record exactly once (any order)
+    seen_keys = np.sort(seen[:, 0].astype(np.int64) * 100 + seen[:, 1])
+    want_keys = np.sort(want[:, 0].astype(np.int64) * 100 + want[:, 1])
+    np.testing.assert_array_equal(seen_keys, want_keys)
+    # the store's own record arrays were not mutated by the shuffle
+    assert store.is_positive(store._pos_users, store._pos_items).all()
+
+    # worker clones draw their own independent (valid) streams
+    clone = s.with_seed((3, 1))
+    b1, b2 = s.sample(), clone.sample()
+    assert not np.array_equal(b1["user_id"], b2["user_id"]) or \
+        not np.array_equal(b1["p_item_id"], b2["p_item_id"])
+
+
 def test_npairwise_sampler():
     store = _store()
     s = NPairwiseSampler(store, batch_size=16, num_negatives=5, seed=1)
