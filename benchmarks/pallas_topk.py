@@ -68,6 +68,21 @@ def bench_case(users, items, dim, bucket=128, item_tile=2048, trials=50,
         "pallas-bf16-r99": jax.jit(lambda u: pallas_score_topk(
             u, V_bf16, b_dev, K, item_tile=item_tile,
             recall_target=0.99)),
+        # r4: the recall>=0.995 regime (VERDICT r3 #6) — three-way A/B:
+        # approx_max_k at 0.995, top-1 kernel at 0.995 (tiny buckets),
+        # and the two-level kernel (top-2/bucket, squared collision
+        # loss -> big buckets at 0.995).
+        "approx-bf16-r995": jax.jit(lambda u: topk_approx(
+            u, V_bf16, b_dev, K, recall_target=0.995)),
+        "pallas-bf16-r995": jax.jit(lambda u: pallas_score_topk(
+            u, V_bf16, b_dev, K, item_tile=4096,
+            recall_target=0.995)),
+        "pallas-bf16-2lvl-r995": jax.jit(lambda u: pallas_score_topk(
+            u, V_bf16, b_dev, K, item_tile=4096,
+            recall_target=0.995, per_bucket=2)),
+        "pallas-bf16-2lvl-native": jax.jit(lambda u: pallas_score_topk(
+            u, V_bf16, b_dev, K, bucket=256, item_tile=4096,
+            per_bucket=2)),
     }
 
     # fp32 exact oracle ids for recall

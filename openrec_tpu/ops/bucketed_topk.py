@@ -387,7 +387,11 @@ def pallas_score_topk(user_vecs, item_table, item_bias, k: int,
                 if pairs > 0 else 1.0
         else:
             l_min = (k - 1) / (2.0 * max(1e-6, 1.0 - recall_target))
-        bucket = max(1, min(int(bucket), int(I / max(l_min, 1.0))))
+        # recall_target OVERRIDES the bucket argument entirely (r4: the
+        # old min(bucket, computed) silently capped the two-level kernel
+        # at the top-1 default ratio, costing it 2.2x at amazon/0.995);
+        # bucket_max*_scores still shrinks oversized ratios to VMEM.
+        bucket = max(1, int(I / max(l_min, 1.0)))
         while bucket & (bucket - 1):          # round down to power of two
             bucket &= bucket - 1
     # Need at least k NON-EMPTY buckets, else top_k over the [B, L]

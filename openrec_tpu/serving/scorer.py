@@ -69,14 +69,17 @@ class CachedDotProductScorer:
 
         @partial(jax.jit, static_argnums=(4, 5, 6))
         def _topk(U, ids, V, b, k, method, recall_target):
-            if method == "pallas":
+            if method in ("pallas", "pallas2"):
                 # Fused Pallas bucket-max kernel (ops/bucketed_topk.py):
-                # the [B, I] scores never reach HBM. Interpret mode off
-                # TPU keeps the path testable everywhere.
+                # the [B, I] scores never reach HBM. 'pallas2' keeps the
+                # top-2 per bucket (squared collision loss) — the
+                # recall>=0.995 serving route. Interpret mode off TPU
+                # keeps the path testable everywhere.
                 from openrec_tpu.ops.bucketed_topk import pallas_score_topk
                 rows = U[ids].astype(V.dtype)
                 return pallas_score_topk(
                     rows, V, b, k, recall_target=recall_target,
+                    per_bucket=2 if method == "pallas2" else 1,
                     interpret=jax.default_backend() != "tpu")
             rows = U[ids].astype(V.dtype)
             s = jnp.dot(rows, V.T, preferred_element_type=jnp.float32) + b
@@ -137,14 +140,17 @@ class CachedDotProductScorer:
         method: 'exact' (default; `lax.top_k`), 'approx'
         (`lax.approx_max_k`/TPU PartialReduce — ~7× faster than exact at
         165k+ catalogs, ≥ recall_target expected recall, every returned
-        score/id exact), or 'pallas' (the fused bucket-max kernel,
+        score/id exact), 'pallas' (the fused bucket-max kernel,
         ops/bucketed_topk.py — the scores never reach HBM; same guarantee
-        class as 'approx'). Measured rule (docs/PERF_NOTES.md +
-        benchmarks/retrieval_dtype.json): at recall_target ≥ 0.99 'approx'
-        is the faster route; 'pallas' with recall_target=None runs at its
-        native ratio-128 point (recall 0.96-0.99) and is then ~1.5×
-        'approx'. `approx=True` is the backward-compatible spelling of
-        method='approx'."""
+        class as 'approx'), or 'pallas2' (two-level kernel, top-2 per
+        bucket — squared collision loss). Measured rule
+        (docs/PERF_NOTES.md + benchmarks/pallas_topk.json r4):
+        'pallas' with recall_target=None at its native ratio-128 point
+        (recall 0.96-0.99) is ~1.5× 'approx'; for recall floors ≥ 0.995
+        use method='pallas2' with recall_target=0.995 — 2.2-2.5×
+        'approx' at matched targets (232k/197k qps at tradesy/amazon,
+        measured recall 0.999+). `approx=True` is the backward-compatible
+        spelling of method='approx'."""
         if method is None:
             method = "approx" if approx else "exact"
         if self._dirty:

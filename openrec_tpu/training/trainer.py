@@ -355,7 +355,20 @@ class Trainer:
             assert dump_path is None, \
                 "dump_path requires the dense scoring path (no scorer)"
         dump_users, dump_scores = [], []
-        for batch in eval_sampler:
+        # live progress for long evals (the reference's tqdm bar,
+        # implicit_model_trainer.py:137) — tty-only, overwritten in place
+        show_progress = sys.stdout.isatty() and not defer_metrics
+        try:
+            n_total = len(eval_sampler)
+        except TypeError:
+            n_total = None
+        t_prog = time.time()
+        for i_batch, batch in enumerate(eval_sampler):
+            if show_progress and time.time() - t_prog > 0.5:
+                t_prog = time.time()
+                frac = (f"{i_batch + 1}/{n_total}" if n_total
+                        else f"{i_batch + 1}")
+                print(f"  eval batch {frac}", end="\r", flush=True)
             if eval_fn is not None:
                 out = eval_fn(self.params, batch["user_id"],
                               batch["pos_mask"], batch["excl_mask"])

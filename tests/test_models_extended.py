@@ -335,6 +335,13 @@ def test_cached_scorer_matches_model_score():
         np.take_along_axis(want, np.asarray(pi), axis=1),
         np.asarray(pv), rtol=1e-5, atol=1e-6)
 
+    # two-level route (top-2 per bucket; the recall>=0.995 regime)
+    pv2, pi2 = scorer.topk(params, users, k=5, method="pallas2",
+                           recall_target=0.995)
+    np.testing.assert_allclose(
+        np.take_along_axis(want, np.asarray(pi2), axis=1),
+        np.asarray(pv2), rtol=1e-5, atol=1e-6)
+
 
 def test_dlrm_bfloat16_compute():
     kw = dict(m_spa=4, ln_emb=(20, 30), ln_bot=(8, 4), ln_top=(16, 1),
