@@ -66,7 +66,7 @@ def run(path, seed, train_ds, test_ds):
     model = BPR(total_users=USERS, total_items=ITEMS, dim_user_embed=DIM,
                 dim_item_embed=DIM)
     tr = Trainer(model, lr=LR, seed=seed)
-    if path == "device":
+    if path.startswith("device"):
         sampler = DevicePairwiseSampler(train_ds.store, batch_size=BATCH)
     else:
         host_sampler = iter(PairwiseSampler(train_ds.store, BATCH,
@@ -74,12 +74,15 @@ def run(path, seed, train_ds, test_ds):
     curve, done = [], 0
     for ck in CKPTS:
         k = ck - done
-        if path == "device":
+        if path.startswith("device"):
             # fixed segment length -> ONE compiled device loop for the
             # whole run (each distinct k is its own multi-minute axon
-            # remote compile)
+            # remote compile). path 'device' = the r3 FUSED single
+            # program; 'device_unfused' = the r4 default (sampling as
+            # its own dispatch feeding the fused K-step program).
             for _ in range(k // 1000):
-                tr.train_steps_device(sampler, 1000)
+                tr.train_steps_device(sampler, 1000,
+                                      fused=(path == "device"))
         else:
             # fused multi-step dispatch over a pre-stacked host segment
             for lo in range(0, k, 200):
@@ -112,7 +115,7 @@ def main():
             _log(f"resuming: {sorted(set(out) - {'config'})}")
         except Exception:
             pass
-    for path in ("host", "device"):
+    for path in ("host", "device", "device_unfused"):
         for seed in (0, 7):
             key = f"{path}_seed{seed}"
             if key in out:
