@@ -170,8 +170,13 @@ def measure_ours(steps_per_call=None):
     Returns a dict of examples/s. OPENREC_BENCH_SKIP_DEVICE=1 skips the
     device path (it adds its own multi-minute remote compile)."""
     if steps_per_call is None:
+        # 400 fused steps per dispatch: the r4 grid (k in {200,400} x
+        # workers in {2,3}) put k=400/w=2 on top for BOTH host modes
+        # (live 55.4M vs 45.5M at k=200; prestaged 91.9M vs 61.3M in the
+        # same process) — deeper fusion amortizes the dispatch RTT and
+        # halves the feeder's per-call overhead.
         steps_per_call = int(os.environ.get("OPENREC_BENCH_STEPS_PER_CALL",
-                                            "200"))
+                                            "400"))
     prestaged, live = _measure_host_paths(steps_per_call)
     modes = {"prestaged": prestaged, "live": live}
     if os.environ.get("OPENREC_BENCH_SKIP_DEVICE") != "1":

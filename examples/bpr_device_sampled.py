@@ -1,5 +1,5 @@
 """BPR with ON-DEVICE sampling — the framework's fastest end-to-end
-training mode (bench.py headline: 297M examples/s on one v5e chip,
+training mode (bench.py headline: 730-836M examples/s on one v5e chip,
 docs/PERF_NOTES.md r4).
 
 Batch construction (uniform positive records + rejection-sampled

@@ -210,6 +210,14 @@ class PairwiseSampler(BatchSampler):
     def with_seed(self, seed):
         clone = super().with_seed(seed)
         if clone.use_native and not clone.chronological:
+            # Re-copy from the STORE's arrays, not the parent's buffer:
+            # the parent may be mid-epoch (its private copy mutates at
+            # reshuffle), and a concurrent worker snapshotting it could
+            # tear a shuffle into mismatched (user, item) pairs.
+            clone._rec_users = np.ascontiguousarray(
+                clone.store._pos_users, dtype=np.int32)
+            clone._rec_items = np.ascontiguousarray(
+                clone.store._pos_items, dtype=np.int32)
             clone._seq_pos = None     # fresh private copy + shuffle
         return clone
 

@@ -212,8 +212,8 @@ class Trainer:
         When the sampler supports sample_stacked, sampling runs as its
         OWN device dispatch feeding the same fused K-step program the
         host paths use (two async dispatches per call, data stays on
-        device) — ~1.0ms per 200-step call at bench scale, ~200M ex/s
-        end-to-end (r4 probe, docs/PERF_NOTES.md). `fused=True` forces
+        device) — 730M+ ex/s end-to-end at bench scale with K=400
+        (docs/PERF_NOTES.md r4). `fused=True` forces
         the single-program scan (the parallel mesh path still fuses —
         per-shard sampling must run inside shard_map)."""
         if not fused and hasattr(sampler, "sample_stacked"):

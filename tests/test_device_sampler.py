@@ -191,3 +191,31 @@ def test_device_pairwise_bitmap_membership():
     qi = jnp.asarray(rng.integers(0, 100, 500).astype(np.int32))
     np.testing.assert_array_equal(np.asarray(s.is_positive(qu, qi)),
                                   np.asarray(s2.is_positive(qu, qi)))
+
+
+def test_device_sampler_state_is_numpy_not_device_arrays():
+    """Regression (PERF_NOTES r4 'donation poisoning'): a device-array
+    jit closure constant is fetched back to the host at lowering time,
+    which permanently disables buffer donation process-wide on the axon
+    backend. Sampler state must stay numpy."""
+    import jax
+
+    from openrec_tpu.data.device_sampler import (
+        DevicePairwiseSampler, DevicePointwiseSampler,
+        DeviceTemporalSampler)
+    from tests.conftest import make_interactions
+    from openrec_tpu.data import InteractionStore
+
+    data = make_interactions(timestamps=True)
+    store = InteractionStore(data, 40, 100, seed=0, sortby="ts")
+    samplers = [DevicePairwiseSampler(store, 8),
+                DevicePairwiseSampler(store, 8,
+                                      membership="searchsorted"),
+                DevicePointwiseSampler(store, 8),
+                DeviceTemporalSampler(store, 8, max_seq_len=4)]
+    for s in samplers:
+        objs = [s] + ([s._index] if hasattr(s, "_index") else [])
+        for obj in objs:
+            for name, v in obj.__dict__.items():
+                assert not isinstance(v, jax.Array), (
+                    type(s).__name__, name, type(v))
