@@ -254,21 +254,29 @@ def main():
     modes = measure_ours()
     # Headline = the fastest LIVE end-to-end rate: every batch is
     # sampled DURING the timed loop (no pre-staging anywhere). That is
-    # the `device` mode — on-device rejection sampling fused with the
+    # the `device` mode — on-device rejection sampling feeding the
     # fused K-step train program; the host only sends one RNG key per
-    # 200 steps (the production recommendation, docs/PERF_NOTES.md).
-    # `live` is the host-C++-sampled end-to-end rate (feeder inside the
-    # timed loop on this 2-vCPU host), `prestaged` the device-step
-    # microbenchmark (feeder outside the timed region).
-    ours = modes.get("device", modes["live"])
+    # `steps_per_call` steps (the production recommendation,
+    # docs/PERF_NOTES.md). `live` is the host-C++-sampled end-to-end
+    # rate (feeder inside the timed loop on this 2-vCPU host),
+    # `prestaged` the device-step microbenchmark (feeder outside the
+    # timed region). The metric string must describe whichever mode the
+    # value actually is (OPENREC_BENCH_SKIP_DEVICE=1 falls back to the
+    # host-fed live rate).
+    if "device" in modes:
+        ours = modes["device"]
+        desc = ("end-to-end with ON-DEVICE sampling inside the timed "
+                "loop — fresh rejection-sampled batch every step, no "
+                "pre-staging")
+    else:
+        ours = modes["live"]
+        desc = ("LIVE end-to-end, host C++ sampling inside the timed "
+                "loop (device mode skipped)")
     vs = ours / baseline if baseline else 0.0
     print(json.dumps({
-        "metric": "examples/s (BPR-CiteULike dim50 batch1000, end-to-end"
-                  " with ON-DEVICE sampling inside the timed loop — "
-                  "fresh rejection-sampled batch every step, no "
-                  "pre-staging; `modes.live` = host-C++-sampled "
-                  "end-to-end, `modes.prestaged` = device-step "
-                  "microbenchmark)",
+        "metric": f"examples/s (BPR-CiteULike dim50 batch1000, {desc}; "
+                  "`modes.live` = host-C++-sampled end-to-end, "
+                  "`modes.prestaged` = device-step microbenchmark)",
         "value": round(ours, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs, 3),

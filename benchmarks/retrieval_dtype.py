@@ -62,23 +62,32 @@ def bench(users, items, dim, batch, k, trials=50):
             extract_item_vecs=lambda p, i: p["V"][i],
             extract_item_bias=lambda p, i: p["b"][i],
             serve_dtype=dt)
-        for mode in ["exact", "approx", "pallas"]:
-            vals, idx = sc.topk(params, ids_dev, k, method=mode)
+        # (mode, recall_target, label): default 0.99 targets plus the
+        # matched >=0.995 pair — approx vs the two-level kernel
+        # (r4, VERDICT r3 #6) — THROUGH the serving harness.
+        cases = [("exact", 0.99, "exact"), ("approx", 0.99, "approx"),
+                 ("pallas", 0.99, "pallas"),
+                 ("approx", 0.995, "approx_r995"),
+                 ("pallas2", 0.995, "pallas2_r995")]
+        for mode, rt, label in cases:
+            def run(ids):
+                return sc.topk(params, ids, k, method=mode,
+                               recall_target=rt)
+            vals, idx = run(ids_dev)
             jax.block_until_ready((vals, idx))
 
             t0 = time.perf_counter()
-            vals, idx = sc.topk(params, ids_np, k, method=mode)
+            vals, idx = run(ids_np)
             jax.block_until_ready((vals, idx))
             latency_ms = (time.perf_counter() - t0) * 1e3
 
             t0 = time.perf_counter()
             for t in range(trials):
-                vals, idx = sc.topk(params, ids_pool[t % len(ids_pool)],
-                                    k, method=mode)
+                vals, idx = run(ids_pool[t % len(ids_pool)])
             jax.block_until_ready((vals, idx))
             pipelined_ms = (time.perf_counter() - t0) / trials * 1e3
             # recall check below compares against ids_dev's batch
-            vals, idx = sc.topk(params, ids_dev, k, method=mode)
+            vals, idx = run(ids_dev)
 
             idx = np.asarray(idx)
             if ref_idx is None:
@@ -86,7 +95,7 @@ def bench(users, items, dim, batch, k, trials=50):
             recall = np.mean([
                 len(set(ref_idx[i].tolist()) & set(idx[i].tolist())) / k
                 for i in range(batch)])
-            out[f"{dt_name}_{mode}"] = {
+            out[f"{dt_name}_{label}"] = {
                 "latency_ms": round(latency_ms, 3),
                 "pipelined_ms": round(pipelined_ms, 4),
                 "pipelined_qps": round(batch / (pipelined_ms / 1e3)),

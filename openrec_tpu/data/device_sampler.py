@@ -39,12 +39,18 @@ class _MembershipIndex:
                       is ≤ `bitmap_limit_bytes`).
       'searchsorted'— binary search over the sorted key array
                       (log₂N serialized gather rounds; any scale).
+    The index arrays are numpy and embed into each jitted program as
+    HLO literals (see the bitmap comment below), so the auto-bitmap
+    limit is sized for COMPILE cost, not HBM: every distinct program
+    (each k, each mesh variant) re-serializes the literal through the
+    remote-compile path. 64MB keeps that bounded; raise it explicitly
+    for long-lived single-program loops on bigger pair spaces.
     TPUs emulate int64 (2x int32 ops); keys are int32 whenever
     user*I+item fits, which covers catalogs up to ~2B pairs.
     """
 
     def __init__(self, store, membership: str = "auto",
-                 bitmap_limit_bytes: int = 256 * 1024 * 1024):
+                 bitmap_limit_bytes: int = 64 * 1024 * 1024):
         self.total_items = store.total_items()
         n_pairs = store.total_users() * store.total_items()
         if membership == "auto":
@@ -96,7 +102,7 @@ class DevicePairwiseSampler:
     """
 
     def __init__(self, store, batch_size: int, membership: str = "auto",
-                 bitmap_limit_bytes: int = 256 * 1024 * 1024,
+                 bitmap_limit_bytes: int = 64 * 1024 * 1024,
                  reject_rounds: int = REJECT_ROUNDS):
         self.reject_rounds = int(reject_rounds)
         self.batch_size = int(batch_size)
@@ -158,7 +164,7 @@ class DevicePointwiseSampler:
 
     def __init__(self, store, batch_size: int, pos_ratio: float = 0.5,
                  membership: str = "auto",
-                 bitmap_limit_bytes: int = 256 * 1024 * 1024,
+                 bitmap_limit_bytes: int = 64 * 1024 * 1024,
                  reject_rounds: int = REJECT_ROUNDS):
         self.reject_rounds = int(reject_rounds)
         self.batch_size = int(batch_size)

@@ -79,14 +79,19 @@ def load_amazon_book(dataset_folder="dataset/", feature_shape=None):
 
     feature_shape overrides the (total_items, 4096) memmap shape (the
     file carries no header, so the caller must know it — test fixtures
-    use small shapes)."""
+    use small shapes).
+
+    Unlike the reference (which copies the memmap with np.array — 7.4GB
+    of host RAM at the real catalog), the memmap stays LAZY: feature
+    joins and batched extraction index it row-wise, so only touched
+    pages fault in."""
     raw = dict(AMAZON_BOOK)
     raw.update(_load_split(dataset_folder, "amazon"))
     if feature_shape is None:
         feature_shape = (raw["total_items"], 4096)
-    raw["item_features"] = np.array(np.memmap(
+    raw["item_features"] = np.memmap(
         os.path.join(dataset_folder, "amazon", "book_features_update.mem"),
-        dtype=np.float32, mode="r", shape=tuple(feature_shape)))
+        dtype=np.float32, mode="r", shape=tuple(feature_shape))
     raw["user_features"] = np.load(
         os.path.join(dataset_folder, "amazon",
                      "user_features_categories.npy"))

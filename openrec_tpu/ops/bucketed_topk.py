@@ -208,87 +208,12 @@ def _bucket_max2_kernel(u_ref, v_ref, b_ref, vals1_ref, ids1_ref,
     ids2_ref[:] = j * item_block + c2 * _LANES + lane
 
 
-def bucket_max2_scores(user_vecs, item_table, item_bias,
-                       bucket: int = 256, item_tile: int = 4096,
-                       user_block: int = 256, interpret: bool = False):
-    """Two-level bucket reduction: [B, L] (top1 vals, top1 ids,
-    top2 vals, top2 ids); same strided bucket layout as
-    bucket_max_scores."""
-    B, D = user_vecs.shape
-    I = item_table.shape[0]
-    itemsize = jnp.dtype(item_table.dtype).itemsize
-    while bucket > 1 and bucket * _LANES * D * itemsize > _MAX_VBLOCK_BYTES:
-        bucket //= 2
-    item_block = bucket * _LANES
-    chunk = max(_LANES, min(_round_up(item_tile, _LANES), item_block))
-    while item_block % chunk:
-        chunk -= _LANES
-    n_chunks = item_block // chunk
-
-    I_pad = _round_up(I, item_block)
-    UB = min(user_block, _round_up(B, 8))
-    B_pad = _round_up(B, UB)
-    L = I_pad // bucket
-
-    u = jnp.zeros((B_pad, D), user_vecs.dtype).at[:B].set(user_vecs)
-    v = jnp.zeros((I_pad, D), item_table.dtype).at[:I].set(item_table)
-    b = jnp.full((1, I_pad), -1e30, jnp.float32)
-    if item_bias is not None:
-        b = b.at[0, :I].set(jnp.reshape(item_bias, (-1,)).astype(
-            jnp.float32))
-    else:
-        b = b.at[0, :I].set(0.0)
-
-    kernel = functools.partial(_bucket_max2_kernel, chunk=chunk,
-                               n_chunks=n_chunks, acc_dtype=jnp.float32)
-    grid = (B_pad // UB, I_pad // item_block)
-    out_spec = pl.BlockSpec((UB, _LANES), lambda i, j: (i, j),
-                            memory_space=pltpu.VMEM)
-    v1, i1, v2, i2 = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((UB, D), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((item_block, D), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, item_block), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[out_spec] * 4,
-        out_shape=[
-            jax.ShapeDtypeStruct((B_pad, L), jnp.float32),
-            jax.ShapeDtypeStruct((B_pad, L), jnp.int32),
-            jax.ShapeDtypeStruct((B_pad, L), jnp.float32),
-            jax.ShapeDtypeStruct((B_pad, L), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=64 << 20,
-        ) if _HAS_PALLAS and not interpret else None,
-        interpret=interpret,
-    )(u, v, b)
-    return v1[:B], i1[:B], v2[:B], i2[:B]
-
-
-def bucket_max_scores(user_vecs, item_table, item_bias,
-                      bucket: int = 128, item_tile: int = 4096,
-                      user_block: int = 256, interpret: bool = False,
-                      reduction: str = "tree"):
-    """[B, L] (bucket-max scores, argmax item ids) of u.V^T + b,
-    L = I_pad/bucket, computed in one fused pass (never materializing
-    [B, I]).
-
-    user_vecs [B, D]; item_table [I, D]; item_bias [I] or [I, 1] or None.
-    `bucket` = reduction ratio (items per bucket); `item_tile` = MXU chunk
-    size per in-kernel dot (multiple of 128). Bucket membership is
-    strided (see module docstring): item t belongs to bucket
-    `(t // (128*bucket)) * 128 + t % 128`.
-
-    Rows past I get a -1e30 bias so they never win (finite → NaN-free
-    with padded zero user rows). The dot accumulates in fp32 regardless
-    of table dtype (bf16 tables halve the table HBM traffic).
-    """
+def _bucket_call_setup(user_vecs, item_table, item_bias, bucket,
+                       item_tile, user_block):
+    """Shared geometry + padding for the bucket kernels: returns
+    (padded u/v/b, chunk, n_chunks, item_block, grid, in_specs, B_pad,
+    L, final bucket). Single source of truth for the VMEM shrink rule,
+    the -1e30 padding-bias sentinel, and the block specs."""
     B, D = user_vecs.shape
     I = item_table.shape[0]
     itemsize = jnp.dtype(item_table.dtype).itemsize
@@ -316,39 +241,97 @@ def bucket_max_scores(user_vecs, item_table, item_bias,
     else:
         b = b.at[0, :I].set(0.0)
 
+    grid = (B_pad // UB, I_pad // item_block)
+    in_specs = [
+        pl.BlockSpec((UB, D), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((item_block, D), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, item_block), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((UB, _LANES), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    return (u, v, b, chunk, n_chunks, grid, in_specs, out_spec, UB,
+            B_pad, L, bucket)
+
+
+def _bucket_compiler_params(interpret):
+    # Every (i, j) cell writes its own output block — no cross-cell
+    # dependency. The default 16MB scoped-vmem budget is ~0.5MB short
+    # of this kernel's working set at the default tile sizes; v5e has
+    # 128MB physical VMEM, so give Mosaic real headroom.
+    if not _HAS_PALLAS or interpret:
+        return None
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel"),
+        vmem_limit_bytes=64 << 20)
+
+
+def bucket_max2_scores(user_vecs, item_table, item_bias,
+                       bucket: int = 256, item_tile: int = 4096,
+                       user_block: int = 256, interpret: bool = False):
+    """Two-level bucket reduction: [B, L] (top1 vals, top1 ids,
+    top2 vals, top2 ids); same strided bucket layout as
+    bucket_max_scores."""
+    B = user_vecs.shape[0]
+    (u, v, b, chunk, n_chunks, grid, in_specs, out_spec, _UB, B_pad, L,
+     bucket) = _bucket_call_setup(user_vecs, item_table, item_bias,
+                                  bucket, item_tile, user_block)
+    kernel = functools.partial(_bucket_max2_kernel, chunk=chunk,
+                               n_chunks=n_chunks, acc_dtype=jnp.float32)
+    v1, i1, v2, i2 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((B_pad, L), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, L), jnp.int32),
+            jax.ShapeDtypeStruct((B_pad, L), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, L), jnp.int32),
+        ],
+        compiler_params=_bucket_compiler_params(interpret),
+        interpret=interpret,
+    )(u, v, b)
+    return v1[:B], i1[:B], v2[:B], i2[:B]
+
+
+def bucket_max_scores(user_vecs, item_table, item_bias,
+                      bucket: int = 128, item_tile: int = 4096,
+                      user_block: int = 256, interpret: bool = False,
+                      reduction: str = "tree"):
+    """[B, L] (bucket-max scores, argmax item ids) of u.V^T + b,
+    L = I_pad/bucket, computed in one fused pass (never materializing
+    [B, I]).
+
+    user_vecs [B, D]; item_table [I, D]; item_bias [I] or [I, 1] or None.
+    `bucket` = reduction ratio (items per bucket); `item_tile` = MXU chunk
+    size per in-kernel dot (multiple of 128). Bucket membership is
+    strided (see module docstring): item t belongs to bucket
+    `(t // (128*bucket)) * 128 + t % 128`.
+
+    Rows past I get a -1e30 bias so they never win (finite → NaN-free
+    with padded zero user rows). The dot accumulates in fp32 regardless
+    of table dtype (bf16 tables halve the table HBM traffic).
+    """
+    B = user_vecs.shape[0]
+    (u, v, b, chunk, n_chunks, grid, in_specs, out_spec, _UB, B_pad, L,
+     bucket) = _bucket_call_setup(user_vecs, item_table, item_bias,
+                                  bucket, item_tile, user_block)
     kernel = functools.partial(_bucket_max_kernel, chunk=chunk,
                                n_chunks=n_chunks, acc_dtype=jnp.float32,
                                reduction=reduction)
-    grid = (B_pad // UB, I_pad // item_block)
     vals, ids = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((UB, D), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((item_block, D), lambda i, j: (j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, item_block), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((UB, _LANES), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((UB, _LANES), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=[out_spec] * 2,
         out_shape=[
             jax.ShapeDtypeStruct((B_pad, L), jnp.float32),
             jax.ShapeDtypeStruct((B_pad, L), jnp.int32),
         ],
-        # Every (i, j) cell writes its own output block — no cross-cell
-        # dependency. The default 16MB scoped-vmem budget is ~0.5MB short
-        # of this kernel's working set at the default tile sizes; v5e has
-        # 128MB physical VMEM, so give Mosaic real headroom.
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=64 << 20,
-        ) if _HAS_PALLAS and not interpret else None,
+        compiler_params=_bucket_compiler_params(interpret),
         interpret=interpret,
     )(u, v, b)
     return vals[:B], ids[:B]

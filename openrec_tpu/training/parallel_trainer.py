@@ -137,13 +137,17 @@ class ParallelTrainer(Trainer):
         self.global_step += k
         return losses
 
-    def train_steps_device(self, sampler, k: int):
+    def train_steps_device(self, sampler, k: int, fused: bool = True):
         """K steps with on-device PER-SHARD sampling (each data shard
         draws a disjoint stream — parallel/train.py
         make_parallel_device_train_step). With sparse_tables set, routes
         through the distributed O(batch) sparse step
         (make_parallel_device_sparse_train_step) — keep k=1 for
-        multi-GB-per-shard tables (scan carries copy; PERF_NOTES)."""
+        multi-GB-per-shard tables (scan carries copy; PERF_NOTES).
+
+        `fused` exists for base-Trainer signature compatibility; the
+        mesh path always fuses (per-shard sampling must run inside
+        shard_map, so there is no separate sample dispatch)."""
         from openrec_tpu.parallel.train import (
             make_parallel_device_sparse_train_step,
             make_parallel_device_train_step)

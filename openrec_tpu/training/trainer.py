@@ -363,9 +363,11 @@ class Trainer:
         except TypeError:
             n_total = None
         t_prog = time.time()
+        progress_shown = False
         for i_batch, batch in enumerate(eval_sampler):
             if show_progress and time.time() - t_prog > 0.5:
                 t_prog = time.time()
+                progress_shown = True
                 frac = (f"{i_batch + 1}/{n_total}" if n_total
                         else f"{i_batch + 1}")
                 print(f"  eval batch {frac}", end="\r", flush=True)
@@ -404,6 +406,8 @@ class Trainer:
                     "valid", np.ones(len(batch["user_id"]), bool)))
                 dump_users.append(np.asarray(batch["user_id"])[valid])
                 dump_scores.append(rows[valid])
+        if progress_shown:
+            print("\r\x1b[K", end="", flush=True)   # clear the progress line
         if dump_path is not None:
             os.makedirs(os.path.dirname(dump_path) or ".", exist_ok=True)
             np.savez(dump_path,
