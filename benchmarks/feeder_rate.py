@@ -54,3 +54,7 @@ if __name__ == "__main__":
         results[f"w{workers}_t{cpp}"] = round(run(workers, cpp) / 1e6, 2)
     import json
     print(json.dumps(results))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "feeder_rate.json"), "w") as f:
+        json.dump({"unit": "M samples/s",
+                   "flat_batch": FLAT, "results": results}, f, indent=1)

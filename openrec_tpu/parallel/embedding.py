@@ -119,6 +119,7 @@ def sharded_topk(scores, k: int, mesh, axis: str = MODEL_AXIS,
 def sharded_pallas_topk(user_vecs, table, bias, k: int, mesh,
                         axis: str = MODEL_AXIS,
                         recall_target: float | None = None,
+                        per_bucket: int = 1,
                         interpret: bool | None = None):
     """Fused retrieval over a row-sharded catalog: each shard streams its
     [I/m, D] table slice through the Pallas bucket-max kernel
@@ -134,6 +135,8 @@ def sharded_pallas_topk(user_vecs, table, bias, k: int, mesh,
     [I_padded] P(axis, None) or None. Returns ([B, k] scores, [B, k]
     global item ids), every returned pair exact; recall follows the
     bucket-collision law per shard (see pallas_score_topk).
+    per_bucket=2 routes through the two-level kernel (the
+    recall>=0.995 regime, docs/PERF_NOTES.md r4).
 
     interpret defaults to `backend != tpu` so CPU-mesh tests and the
     driver dryrun execute the same code path.
@@ -148,8 +151,8 @@ def sharded_pallas_topk(user_vecs, table, bias, k: int, mesh,
     def _kernel(u, v_shard, b_shard):
         shard = jax.lax.axis_index(axis)
         vals, idx = pallas_score_topk(
-            u, v_shard, b_shard, k,
-            recall_target=recall_target, interpret=interpret)
+            u, v_shard, b_shard, k, recall_target=recall_target,
+            per_bucket=per_bucket, interpret=interpret)
         idx = idx + shard * rows_per_shard
         vals = jax.lax.all_gather(vals, axis, axis=-1, tiled=True)
         idx = jax.lax.all_gather(idx, axis, axis=-1, tiled=True)

@@ -129,6 +129,18 @@ def test_sharded_pallas_topk():
                       for r in range(8)])
     assert recall >= 0.9, recall
 
+    # two-level variant (per_bucket=2): scores exact at their ids and
+    # recall at least the top-1 kernel's on the same data
+    vals3, idx3 = sharded_pallas_topk(
+        jnp.asarray(U2), jax.device_put(V2, row_sharding(mesh)),
+        None, k, mesh, per_bucket=2)
+    np.testing.assert_allclose(
+        np.take_along_axis(want2, np.asarray(idx3), axis=1),
+        np.asarray(vals3), rtol=1e-5)
+    recall2 = np.mean([len(set(di2[r]) & set(np.asarray(idx3)[r])) / k
+                       for r in range(8)])
+    assert recall2 >= recall, (recall, recall2)
+
 
 def test_dp_train_step_matches_single_device():
     """Pure data parallelism must be numerically identical to one device."""
