@@ -1,10 +1,14 @@
-"""Full BPR training run at the reference CiteULike config on TPU:
-trains 20k iterations (fused 200-step dispatches) on planted low-rank
-synthetic data, evaluating AUC/Recall@{50,100} every 2k iterations.
+"""Full BPR training run at the reference CiteULike config on TPU, BOTH
+production feed paths in one process: host-fed (C++ sampler + fused
+dispatches) and on-device-sampled. Planted low-rank data, AUC/Recall@K
+every EVAL_EVERY iterations with metrics kept ON DEVICE until the end
+(defer_metrics — the r3 version fetched interval metrics, which
+donation-poisons the process and was silently costing ~50x train speed;
+docs/PERF_NOTES.md r4).
 
-Writes benchmarks/bpr_training_run.json (metric trajectory + wall time) —
-the end-to-end "does the whole system train to quality at speed" artifact.
-Run ALONE (uses the TPU).
+Writes benchmarks/bpr_training_run.json (per-path trajectory + wall
+time) — the end-to-end "does the whole system train to quality at
+speed" artifact. Run ALONE (uses the TPU).
 """
 
 import json
@@ -44,50 +48,106 @@ def make_low_rank(seed=0):
     return (np.array(rows_tr, dtype=dtype), np.array(rows_te, dtype=dtype))
 
 
-def main():
+def run_path(path_name, train_ds, test_ds, model):
     import jax
 
-    from openrec_tpu.data import Dataset, Prefetcher
+    from openrec_tpu.data import Prefetcher
+    from openrec_tpu.data.device_sampler import DevicePairwiseSampler
     from openrec_tpu.data.samplers import PairwiseSampler
-    from openrec_tpu.models import BPR
     from openrec_tpu.training import Trainer
+
+    tr = Trainer(model, lr=1e-3, seed=0)
+    if path_name == "host":
+        sampler = PairwiseSampler(train_ds.store, batch_size=K * BATCH,
+                                  seed=0)
+        feeder = Prefetcher(sampler, num_workers=2, capacity=4)
+        it = iter(feeder)
+    else:
+        dsampler = DevicePairwiseSampler(train_ds.store, batch_size=BATCH)
+
+    # Warm/compile OUTSIDE the timed region (axon remote compiles run
+    # 1.5s-200s per program and the persistent cache does not capture
+    # them — counting them in t_train is what made the r3 artifact
+    # report 2M ex/s).
+    if path_name == "host":
+        tr.train_step_multi_flat(next(it), K)
+    else:
+        tr.train_steps_device(dsampler, K)
+    jax.block_until_ready(tr.params["item_embed"])
+    warm_steps = tr.global_step
+
+    # metrics stay ON DEVICE until after the timed region: any fetch
+    # inside the loop poisons donation and slows every later dispatch
+    deferred = []
+    t_train = 0.0
+    for _start in range(0, TOTAL_ITER, EVAL_EVERY):
+        t0 = time.perf_counter()
+        for _ in range(EVAL_EVERY // K):
+            if path_name == "host":
+                tr.train_step_multi_flat(next(it), K)
+            else:
+                tr.train_steps_device(dsampler, K)
+        jax.block_until_ready(tr.params["item_embed"])
+        t_train += time.perf_counter() - t0
+        res = tr.evaluate(test_ds.evaluation(
+            batch_size=512, excl_datasets=[train_ds]), at=(50, 100),
+            defer_metrics=True)
+        deferred.append((tr.global_step, res))
+    if path_name == "host":
+        feeder.stop()
+    fetched = jax.device_get([r for _, r in deferred])
+    trajectory = [{"iter": step, "AUC": float(r["AUC"]),
+                   "Recall@50": float(np.asarray(r["Recall"])[0]),
+                   "Recall@100": float(np.asarray(r["Recall"])[1])}
+                  for (step, _), r in zip(deferred, fetched)]
+    for point in trajectory:
+        print(path_name, point, flush=True)
+    return {"train_seconds": round(t_train, 3),
+            "examples_per_s": round(TOTAL_ITER * BATCH / t_train, 1),
+            "warm_steps_before_timing": warm_steps,
+            "trajectory": trajectory}
+
+
+def _run_one(path_name):
+    from openrec_tpu.data import Dataset
+    from openrec_tpu.models import BPR
 
     train_data, test_data = make_low_rank()
     train_ds = Dataset(train_data, USERS, ITEMS, seed=0)
     test_ds = Dataset(test_data, USERS, ITEMS, seed=0)
     model = BPR(total_users=USERS, total_items=ITEMS, dim_user_embed=DIM,
                 dim_item_embed=DIM, l2_weight=1e-4)
-    tr = Trainer(model, lr=1e-3, seed=0)
+    return run_path(path_name, train_ds, test_ds, model)
 
-    sampler = PairwiseSampler(train_ds.store, batch_size=K * BATCH, seed=0)
-    feeder = Prefetcher(sampler, num_workers=2, capacity=4)
-    it = iter(feeder)
 
-    trajectory = []
-    t_train = 0.0
-    for start in range(0, TOTAL_ITER, EVAL_EVERY):
-        t0 = time.perf_counter()
-        for _ in range(EVAL_EVERY // K):
-            tr.train_step_multi_flat(next(it), K)
-        jax.block_until_ready(tr.params["item_embed"])
-        t_train += time.perf_counter() - t0
-        res = tr.evaluate(test_ds.evaluation(
-            batch_size=512, excl_datasets=[train_ds]), at=(50, 100))
-        point = {"iter": tr.global_step, "AUC": float(res["AUC"]),
-                 "Recall@50": float(res["Recall"][0]),
-                 "Recall@100": float(res["Recall"][1])}
-        trajectory.append(point)
-        print(point, flush=True)
-    feeder.stop()
+def main():
+    # One SUBPROCESS per feed path (the roofline benchmarks' pattern):
+    # the host path's end-of-run metric fetch leaves the process in the
+    # degraded donation state, which would contaminate the device path's
+    # timings if they shared a process.
+    import subprocess
+    import sys as _sys
 
-    out = {
-        "config": {"users": USERS, "items": ITEMS, "dim": DIM,
-                   "batch": BATCH, "total_iter": TOTAL_ITER,
-                   "lr": 1e-3, "l2_weight": 1e-4, "data": "planted low-rank"},
-        "train_seconds": round(t_train, 2),
-        "examples_per_s": round(TOTAL_ITER * BATCH / t_train, 1),
-        "trajectory": trajectory,
-    }
+    out = {"config": {"users": USERS, "items": ITEMS, "dim": DIM,
+                      "batch": BATCH, "total_iter": TOTAL_ITER,
+                      "lr": 1e-3, "l2_weight": 1e-4,
+                      "data": "planted low-rank",
+                      "metrics": "device-resident, fetched at end",
+                      "isolation": "one subprocess per path"}}
+    for path_name in ("host", "device"):
+        proc = subprocess.run(
+            [_sys.executable, os.path.abspath(__file__), path_name],
+            capture_output=True, text=True, timeout=1800)
+        if proc.returncode != 0:
+            raise RuntimeError(f"{path_name} failed:\n{proc.stdout[-2000:]}"
+                               f"\n{proc.stderr[-2000:]}")
+        out[path_name] = json.loads(proc.stdout.splitlines()[-1])
+        print(path_name, "done:", out[path_name]["train_seconds"], "s",
+              flush=True)
+    # back-compat top-level fields = the host path (r3 schema)
+    out["train_seconds"] = out["host"]["train_seconds"]
+    out["examples_per_s"] = out["host"]["examples_per_s"]
+    out["trajectory"] = out["host"]["trajectory"]
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bpr_training_run.json")
     with open(path, "w") as f:
@@ -96,4 +156,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        print(json.dumps(_run_one(sys.argv[1])))
+    else:
+        main()
