@@ -188,9 +188,16 @@ def run_sparse_ab():
     batches = make_batches(N_BATCH)
     out = {}
     import os as _os
-    order = (("mixed1", "mixed"), ("flat", "flat"), ("mixed2", "mixed")) \
-        if _os.environ.get("AB_ORDER") == "mixed_first" else \
-        (("flat1", "flat"), ("mixed", "mixed"), ("flat2", "flat"))
+    # r5 default: bracket the sort-free hash mode against flat twice
+    # (the middle-slot allocator artifact means a single bracket is not
+    # conclusive — PERF_NOTES r3). AB_MODES overrides, e.g.
+    # AB_MODES=flat,mixed,flat for the r3 comparison.
+    modes = _os.environ.get("AB_MODES", "flat,hash,flat,hash").split(",")
+    seen = {}
+    order = []
+    for m in modes:
+        seen[m] = seen.get(m, 0) + 1
+        order.append((f"{m}{seen[m]}" if modes.count(m) > 1 else m, m))
     for tag, mode in order:
         params = model.init(jax.random.PRNGKey(0))
         init_fn, step_fn, _ = make_sparse_train_step(
@@ -209,7 +216,7 @@ def run_sparse_ab():
     return out
 
 
-def run_sparse_only(columnwise=False):
+def run_sparse_only(variant="flat"):
     """Only the embedding machinery, via a trivial loss."""
     import jax
 
@@ -242,13 +249,19 @@ def run_sparse_only(columnwise=False):
     emodel = EmbedOnly(total_rows=int(sum(COUNTS)),
                        offsets=tuple(int(o) for o in offsets))
     eparams = emodel.init(jax.random.PRNGKey(0))
-    # columnwise: hand the step the [B, T] id matrix -> per-column dedup
+    # colu: hand the step the [B, T] id matrix -> per-column dedup
     # (26 batched 4096-sorts) instead of one 106k-id sort
-    if columnwise:
+    # hash: sort-free slot-table dedup (unique_hashed)
+    if variant == "colu":
         from openrec_tpu.training.sparse import Columns
         spec = {"embed_fused":
                 lambda batch: Columns(
                     emodel.flat_ids(batch["sparse_features"]))}
+    elif variant == "hash":
+        from openrec_tpu.training.sparse import Hashed
+        spec = {"embed_fused":
+                lambda batch: Hashed(emodel.flat_ids(
+                    batch["sparse_features"]).reshape(-1))}
     else:
         spec = {"embed_fused":
                 lambda batch: emodel.flat_ids(
@@ -264,21 +277,33 @@ def run_sparse_only(columnwise=False):
             estate["p"], estate["st"], batch, jax.random.PRNGKey(0))
         return loss
 
-    key = "sparse_only_colu_ms" if columnwise else "sparse_only_ms"
+    key = ("sparse_only_ms" if variant == "flat"
+           else f"sparse_only_{variant}_ms")
     return {key: round(_time(sparse_only, batches) * 1e3, 4)}
 
 
 VARIANTS = {"full": run_full, "dense_only": run_dense_only,
-            "sparse_only": lambda: run_sparse_only(False),
-            "sparse_only_colu": lambda: run_sparse_only(True),
+            "sparse_only": lambda: run_sparse_only("flat"),
+            "sparse_only_colu": lambda: run_sparse_only("colu"),
+            "sparse_only_hash": lambda: run_sparse_only("hash"),
             "sparse_ab": run_sparse_ab}
 
 
 def main():
+    # ROOFLINE_ONLY=sparse_ab,sparse_only_hash reruns a subset and merges
+    # into the existing JSON (remote compiles cost minutes per variant;
+    # harnesses must be resumable — CLAUDE.md).
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "dlrm_sparse_roofline.json")
+    only = os.environ.get("ROOFLINE_ONLY")
     results = {"config": {"batch": B, "m_spa": D, "bot": list(BOT),
                           "top": list(TOP),
                           "total_rows": int(sum(COUNTS))}}
-    for name in VARIANTS:
+    if only and os.path.exists(path):
+        with open(path) as f:
+            results.update(json.load(f))
+    names = only.split(",") if only else list(VARIANTS)
+    for name in names:
         t0 = time.time()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), name],
@@ -292,6 +317,8 @@ def main():
             raise
         print(f"[{name}] {line}  ({time.time() - t0:.0f}s incl compile)",
               flush=True)
+        with open(path, "w") as f:      # incremental: survive drops
+            json.dump(results, f, indent=2)
 
     dt_full = results["full_ms"]
     dt_dense = results["dense_only_ms"]
@@ -325,16 +352,18 @@ def main():
                                   1e-9), 2),
         "dense_plus_sparse_vs_full": round(
             (dt_dense + dt_sparse) / dt_full, 3),
-        # Cross-process ratio: the two sparse_only variants run in
+        # Cross-process ratios: the sparse_only variants run in
         # separate subprocesses, where run-to-run variance is +-20-30%
         # at these sub-ms scales (module docstring). Indicative only;
         # the authoritative same-process bracket is `sparse_ab`.
         "colu_speedup_vs_flat_dedup_CROSS_PROCESS_INDICATIVE": round(
-            dt_sparse / results["sparse_only_colu_ms"], 3),
+            dt_sparse / results["sparse_only_colu_ms"], 3)
+        if "sparse_only_colu_ms" in results else None,
+        "hash_speedup_vs_flat_dedup_CROSS_PROCESS_INDICATIVE": round(
+            dt_sparse / results["sparse_only_hash_ms"], 3)
+        if "sparse_only_hash_ms" in results else None,
     }
     print(json.dumps(results, indent=2))
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "dlrm_sparse_roofline.json")
     with open(path, "w") as f:
         json.dump(results, f, indent=2)
 

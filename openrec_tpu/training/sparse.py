@@ -194,6 +194,172 @@ def unique_padded_mixed(col_ids: ColumnIds):
     return jnp.concatenate(segs_u), jnp.concatenate(segs_v)
 
 
+_HASH_EMPTY = np.int32(2 ** 31 - 1)
+
+
+class Hashed:
+    """Explicit opt-in wrapper for the SORT-FREE hash-slot dedup path:
+    wrap the flat id array and the sparse step dedups it by parallel
+    insertion into a 2×-cap power-of-two slot table (double-hash probe)
+    instead of the flat sort — `unique_hashed`. Lookups inside the loss
+    resolve by re-probing the slot table (`HashSubTable`), so no sorted
+    order is ever needed.
+
+    Trade-off vs flat sort (the r4 roofline: the 106k-id sort is ~0.3ms
+    of the 0.5ms Criteo step): removes the sort entirely, but the
+    gathered rowset grows from cap to S = 2^ceil(log2(2·cap)) slots
+    (~2.5× the HBM floor at Criteo-Kaggle batch 4096). Measured A/B in
+    benchmarks/dlrm_sparse_roofline.py (`sparse_ab`).
+
+    Contract: ids are non-negative int32 < 2^31-1 (the empty sentinel).
+    """
+
+    def __init__(self, ids, rounds: int = 8):
+        self.ids = ids
+        self.rounds = int(rounds)
+
+
+def _hash_probe(ids_i32, S: int):
+    """(h0, stride) for double hashing into a power-of-two table: two
+    multiplicative (Knuth/Fibonacci) hashes; stride forced odd so the
+    probe sequence (h0 + r·stride) mod S visits every slot exactly once
+    over r = 0..S-1 (odd stride is coprime with S = 2^k)."""
+    shift = jnp.uint32(32 - (int(S).bit_length() - 1))
+    u = ids_i32.astype(jnp.uint32)
+    h0 = (u * jnp.uint32(2654435761)) >> shift
+    stride = ((u * jnp.uint32(2246822519)) >> shift) | jnp.uint32(1)
+    return h0, stride
+
+
+def unique_hashed(ids, rounds: int = 8):
+    """(uids [S], valid [S]) by parallel hash-slot insertion — no sort.
+
+    S = smallest power of two ≥ 2·len(ids) (load factor ≤ 0.5 even if
+    every id is unique). Each round, every not-yet-landed id scatter-mins
+    itself into its next probe slot ONLY if that slot was empty at the
+    round start — settled ids are never evicted (occupancy is monotone),
+    so termination is guaranteed: an alive id's probe sequence visits all
+    S slots and at most S/2 are ever occupied. `rounds` unrolled rounds
+    run inline (typical batches settle in ≤ 4); rare stragglers finish
+    under a `lax.while_loop` (dynamic trip count, int-only carry).
+
+    Returned uids hold the ids in SLOT ORDER (not sorted); empty slots
+    hold the sentinel 2^31-1, which is out of bounds for any real table —
+    gather them with mode='clip' and scatter with mode='drop' (pads then
+    cost nothing; there is no aliased-pad masking subtlety). `valid`
+    marks occupied slots. Duplicate ids all resolve to one slot, so
+    gradient accumulation order matches the sorted paths' (operand
+    order), keeping trajectories bit-identical with flat/mixed dedup
+    (tests/test_sparse_step.py)."""
+    flat = jnp.reshape(ids, (-1,)).astype(jnp.int32)
+    n = int(flat.shape[0])
+    S = 1 << (2 * n - 1).bit_length()
+    h0, stride = _hash_probe(flat, S)
+    mask = jnp.uint32(S - 1)
+    EMPTY = jnp.int32(_HASH_EMPTY)
+
+    def round_fn(r, slots, landed):
+        pos = ((h0 + r.astype(jnp.uint32) * stride) & mask) \
+            .astype(jnp.int32)
+        cur = jnp.take(slots, pos, mode="clip")
+        landed = landed | (cur == flat)
+        cand = jnp.where(~landed & (cur == EMPTY), flat, EMPTY)
+        slots = slots.at[pos].min(cand, mode="drop")
+        landed = landed | (jnp.take(slots, pos, mode="clip") == flat)
+        return slots, landed
+
+    slots = jnp.full((S,), EMPTY, jnp.int32)
+    landed = jnp.zeros((n,), bool)
+    unrolled = min(max(rounds, 0), S)
+    for r in range(unrolled):
+        slots, landed = round_fn(jnp.uint32(r), slots, landed)
+
+    def cond(c):
+        r, _, landed = c
+        return jnp.logical_and(~jnp.all(landed), r < S)
+
+    def body(c):
+        r, slots, landed = c
+        slots, landed = round_fn(r, slots, landed)
+        return r + 1, slots, landed
+
+    _, slots, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(unrolled), slots, landed))
+    return slots, slots != EMPTY
+
+
+def hash_positions(slot_ids, ids, unroll: int = 8):
+    """Slot position of each id in a `unique_hashed` table, by retracing
+    the same probe sequence. Every looked-up id must be present (the
+    sparse step only looks up the batch the table was built from);
+    integer-only ops, so autodiff through the caller's gather is
+    untouched. Stragglers past `unroll` rounds finish under a bounded
+    while_loop (int carries — no reverse-mode obstruction)."""
+    S = int(slot_ids.shape[0])
+    idsi = jnp.asarray(ids).astype(jnp.int32)
+    h0, stride = _hash_probe(idsi, S)
+    mask = jnp.uint32(S - 1)
+    pos = (h0 & mask).astype(jnp.int32)
+    found = jnp.take(slot_ids, pos, mode="clip") == idsi
+    for r in range(1, min(max(unroll, 1), S)):
+        cand = ((h0 + jnp.uint32(r) * stride) & mask).astype(jnp.int32)
+        pos = jnp.where(found, pos, cand)
+        found = found | (jnp.take(slot_ids, pos, mode="clip") == idsi)
+
+    def cond(c):
+        r, _, found = c
+        return jnp.logical_and(~jnp.all(found), r < S)
+
+    def body(c):
+        r, pos, found = c
+        cand = ((h0 + r.astype(jnp.uint32) * stride) & mask) \
+            .astype(jnp.int32)
+        pos = jnp.where(found, pos, cand)
+        found = found | (jnp.take(slot_ids, pos, mode="clip") == idsi)
+        return r + 1, pos, found
+
+    _, pos, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(min(max(unroll, 1), S)), pos, found))
+    return pos
+
+
+@jax.tree_util.register_pytree_node_class
+class HashSubTable:
+    """A gathered view keyed by a `unique_hashed` slot table (the
+    sort-free sibling of `SubTable`): lookup re-probes the slot table
+    instead of binary-searching sorted uids."""
+
+    def __init__(self, slot_ids, rows):
+        self.slot_ids = slot_ids          # [S] int32, EMPTY-sentinel pads
+        self.rows = rows                  # [S, D]
+
+    @property
+    def shape(self):
+        return self.rows.shape
+
+    @property
+    def dtype(self):
+        return self.rows.dtype
+
+    def lookup(self, ids):
+        pos = hash_positions(self.slot_ids, ids)
+        return jnp.take(self.rows, pos, axis=0, mode="clip")
+
+    @property
+    def T(self):
+        raise TypeError(
+            "full-table ops are not available on a HashSubTable view; "
+            "score() must use the full table (run it outside "
+            "sparse_train_step)")
+
+    def tree_flatten(self):
+        return (self.slot_ids, self.rows), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
 class SparseAdamState(NamedTuple):
     count: jnp.ndarray
     mu: dict
@@ -260,10 +426,21 @@ def dlrm_fused_table_spec(model, columnwise: bool = False,
                      Criteo-Kaggle batch 4096); exact lazy semantics
                      preserved (bit-identical trajectories,
                      tests/test_sparse_step.py).
+      'hash'       — Hashed: SORT-FREE dedup by parallel insertion into
+                     a 2×-cap hash-slot table (`unique_hashed`); lookups
+                     re-probe (`HashSubTable`). Removes the flat sort
+                     (the measured bound of the Criteo sparse step) at
+                     the cost of a ~2.5× larger gathered rowset; same
+                     exact lazy semantics / bit-identical trajectories.
+                     Measured A/B: benchmarks/dlrm_sparse_roofline.py.
 
     Per-table offset ranges are disjoint and increasing by construction,
     satisfying the columns/mixed contracts."""
     mode = "columns" if columnwise and mode is None else (mode or "flat")
+    if mode == "hash":
+        return {"embed_fused":
+                lambda batch: Hashed(model.flat_sparse_ids(
+                    batch["sparse_features"]).reshape(-1))}
     if mode == "mixed":
         counts = tuple(model.ln_emb)
         offsets = tuple(model.table_offsets[:-1])
@@ -327,12 +504,19 @@ def make_sparse_train_step(model, table_specs,
 
         # 1) unique ids + caps (static from batch shapes). The per-column
         # dedup path (unique_padded_columns' disjoint-increasing-ranges
-        # contract) is explicit opt-in via the Columns wrapper; bare
-        # arrays of any rank flatten through the flat sort-dedup.
-        # id_cap does not apply to Columns/ColumnIds (cap = B per column).
+        # contract) is explicit opt-in via the Columns wrapper, the
+        # sort-free hash-slot path via Hashed; bare arrays of any rank
+        # flatten through the flat sort-dedup.
+        # id_cap does not apply to Columns/ColumnIds/Hashed.
         uids, valid = {}, {}
+        hashed_paths = set()
         for path, extract in specs.items():
             raw = extract(batch)
+            if isinstance(raw, Hashed):
+                uids[path], valid[path] = unique_hashed(raw.ids,
+                                                        rounds=raw.rounds)
+                hashed_paths.add(path)
+                continue
             if isinstance(raw, ColumnIds):
                 uids[path], valid[path] = unique_padded_mixed(raw)
                 continue
@@ -344,8 +528,11 @@ def make_sparse_train_step(model, table_specs,
             uids[path], valid[path] = unique_padded(
                 all_ids, min(cap, all_ids.shape[0]))
 
-        # 2) gather rows
-        rows = {path: jnp.take(_get_path(params, path), uids[path], axis=0)
+        # 2) gather rows (mode='clip': hash-path empty slots hold an
+        # out-of-bounds sentinel and clamp to some row; their
+        # contributions are masked/dropped below)
+        rows = {path: jnp.take(_get_path(params, path), uids[path],
+                               axis=0, mode="clip")
                 for path in specs}
 
         # 3) loss over SubTable views + dense params
@@ -357,15 +544,20 @@ def make_sparse_train_step(model, table_specs,
             for k, v in dense.items():
                 p = _set_path(p, (k,), v)
             for path in specs:
-                p = _set_path(p, path, SubTable(uids[path], r[path]))
+                view = (HashSubTable(uids[path], r[path])
+                        if path in hashed_paths
+                        else SubTable(uids[path], r[path]))
+                p = _set_path(p, path, view)
             total, _aux = model.loss(p, batch, rng)
             return total
 
         (loss), grads = jax.value_and_grad(loss_fn)((rows, dense_params))
         row_grads, dense_grads = grads
 
-        # 4) Adam on gathered rows; pad entries (valid=False) alias a real
-        # id, so every scatter contribution is masked to zero for them.
+        # 4) Adam on gathered rows; sorted-path pad entries (valid=False)
+        # alias a real id, so every scatter contribution is masked to
+        # zero for them; hash-path empties hold an out-of-bounds sentinel
+        # and mode='drop' discards them outright.
         count = sparse_state.count + 1
         c1 = 1.0 - b1 ** count.astype(jnp.float32)
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
@@ -375,19 +567,22 @@ def make_sparse_train_step(model, table_specs,
         for path in specs:
             g = row_grads[path]
             v = valid[path][:, None].astype(g.dtype)
-            mu_old = jnp.take(sparse_state.mu[path], uids[path], axis=0)
-            nu_old = jnp.take(sparse_state.nu[path], uids[path], axis=0)
+            mu_old = jnp.take(sparse_state.mu[path], uids[path], axis=0,
+                              mode="clip")
+            nu_old = jnp.take(sparse_state.nu[path], uids[path], axis=0,
+                              mode="clip")
             mu_rows = b1 * mu_old + (1 - b1) * g
             nu_rows = b2 * nu_old + (1 - b2) * g * g
             step = -alpha * mu_rows / (jnp.sqrt(nu_rows) + eps)
             # 5) scatter deltas back (donated → in-place); pads add zero.
             new_params = _set_path(
                 new_params, path,
-                _get_path(params, path).at[uids[path]].add(step * v))
+                _get_path(params, path).at[uids[path]].add(step * v,
+                                                           mode="drop"))
             new_mu[path] = sparse_state.mu[path].at[uids[path]].add(
-                (mu_rows - mu_old) * v)
+                (mu_rows - mu_old) * v, mode="drop")
             new_nu[path] = sparse_state.nu[path].at[uids[path]].add(
-                (nu_rows - nu_old) * v)
+                (nu_rows - nu_old) * v, mode="drop")
 
         updates, dense_state = dense_tx.update(
             dense_grads, opt_state["dense"], dense_params)

@@ -58,6 +58,64 @@ def test_unique_padded_columns_matches_flat():
     np.testing.assert_array_equal(u[pos], flat)
 
 
+def test_unique_hashed_matches_unique():
+    from openrec_tpu.training.sparse import (_HASH_EMPTY, hash_positions,
+                                             unique_hashed)
+
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(0, 500, 300).astype(np.int32))
+    uids, valid = unique_hashed(ids)
+    u, v = np.asarray(uids), np.asarray(valid)
+    S = len(u)
+    assert S >= 2 * 300 and (S & (S - 1)) == 0     # 2×-cap power of two
+    # occupied slots hold exactly the unique set; empties the sentinel
+    np.testing.assert_array_equal(np.sort(u[v]),
+                                  np.unique(np.asarray(ids)))
+    assert (u[~v] == _HASH_EMPTY).all()
+    # every original id probes to its own slot (HashSubTable contract)
+    pos = np.asarray(hash_positions(uids, ids))
+    np.testing.assert_array_equal(u[pos], np.asarray(ids))
+
+
+def test_unique_hashed_straggler_while_loop():
+    """rounds=0 forces EVERY insertion through the dynamic while_loop
+    continuation (and unroll=1 lookups through theirs): same invariants."""
+    from openrec_tpu.training.sparse import hash_positions, unique_hashed
+
+    rng = np.random.default_rng(11)
+    # dense id range → heavy collisions
+    ids = jnp.asarray(rng.integers(0, 40, 256).astype(np.int32))
+    uids, valid = unique_hashed(ids, rounds=0)
+    u, v = np.asarray(uids), np.asarray(valid)
+    np.testing.assert_array_equal(np.sort(u[v]),
+                                  np.unique(np.asarray(ids)))
+    pos = np.asarray(hash_positions(uids, ids, unroll=1))
+    np.testing.assert_array_equal(u[pos], np.asarray(ids))
+
+
+def test_hash_positions_grad_safe():
+    """jax.grad flows through a HashSubTable lookup (integer-only
+    while_loop in the position probe must not obstruct reverse mode)."""
+    from openrec_tpu.training.sparse import HashSubTable, unique_hashed
+
+    ids = jnp.asarray([3, 7, 3, 1, 9, 7], jnp.int32)
+    uids, valid = unique_hashed(ids, rounds=1)
+
+    def f(rows):
+        view = HashSubTable(uids, rows)
+        return jnp.sum(view.lookup(ids) ** 2)
+
+    rows = jnp.ones((uids.shape[0], 4), jnp.float32)
+    g = jax.grad(f)(rows)
+    # each unique id's slot row is looked up len(dups) times → grad 2*dups
+    u, v = np.asarray(uids), np.asarray(valid)
+    counts = {3: 2, 7: 2, 1: 1, 9: 1}
+    gn = np.asarray(g)
+    for slot in range(len(u)):
+        expect = 2.0 * counts.get(int(u[slot]), 0) if v[slot] else 0.0
+        np.testing.assert_allclose(gn[slot], expect)
+
+
 def _setup():
     store = InteractionStore(make_interactions(), 40, 100, seed=0)
     model = BPR(total_users=40, total_items=100, dim_user_embed=8,
@@ -262,8 +320,8 @@ def test_dlrm_fused_columnwise_matches_flat_dedup():
     finals = []
     # 'mixed' exercises both segment kinds at B=32: counts 50/80 > B
     # dedup per column, count 30 <= B becomes a static touched-mask
-    # segment
-    for mode in ("mixed", "columns", "flat"):
+    # segment; 'hash' is the sort-free slot-table path
+    for mode in ("mixed", "columns", "flat", "hash"):
         params = model.init(jax.random.PRNGKey(0))
         init_fn, step_fn, _ = make_sparse_train_step(
             model, dlrm_fused_table_spec(model, mode=mode),
