@@ -348,10 +348,15 @@ def pallas_score_topk(user_vecs, item_table, item_bias, k: int,
     reduction ratio `bucket`: every returned score/id exact; recall < 1
     only from top-k collisions within a bucket.
 
-    recall_target: if given, overrides `bucket` with the largest power of
-    two whose expected recall (1 - (k-1)/(2L), the birthday bound for k
-    uniform winners over L buckets) meets the target — the same sizing
-    rule approx_max_k applies to its PartialReduce ratio.
+    recall_target: if given, the `bucket` argument is IGNORED ENTIRELY —
+    the ratio becomes the largest power of two whose expected recall
+    (1 - (k-1)/(2L), the birthday bound for k uniform winners over L
+    buckets) meets the target, which can be far LARGER than the `bucket`
+    a caller passed as a VMEM/latency bound (the r4 min()-cap behavior
+    was removed — it silently held the two-level kernel at the top-1
+    default ratio). To bound the ratio yourself, pass
+    recall_target=None and size `bucket` directly; the internal VMEM
+    shrink in bucket_max*_scores still applies either way.
 
     per_bucket=2 switches to the two-level kernel (top-2 kept per
     bucket): recall loss needs THREE top-k items in one bucket, so the

@@ -129,13 +129,26 @@ class ParallelTrainer(Trainer):
         if k not in self._multi_step_cache:
             self._multi_step_cache[k] = self._build_multi_step(k)
         stacked_sharding = NamedSharding(self.mesh, P(None, DATA_AXIS))
-        stacked = {key: jax.device_put(np.asarray(v), stacked_sharding)
+        # device_put directly: for host arrays it transfers the shards;
+        # for jax.Arrays (e.g. a device-sampled or pre-sharded feed) it
+        # reshards ON DEVICE — np.asarray here would be a device→host
+        # fetch, which permanently disables buffer donation on the axon
+        # backend (docs/PERF_NOTES.md "donation poisoning"; ADVICE r4).
+        stacked = {key: jax.device_put(v, stacked_sharding)
                    for key, v in stacked.items()}
         self.rng, step_rng = jax.random.split(self.rng)
         self.params, self.opt_state, losses = self._multi_step_cache[k](
             self.params, self.opt_state, stacked, step_rng)
         self.global_step += k
         return losses
+
+    def _multi_feed_sharding(self):
+        """[k, B, ...] fused-feed payloads shard dim 1 over 'data' on
+        the way in (each device receives only its slice per step)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from openrec_tpu.parallel.mesh import DATA_AXIS
+        return NamedSharding(self.mesh, P(None, DATA_AXIS))
 
     def train_steps_device(self, sampler, k: int, fused: bool = True):
         """K steps with on-device PER-SHARD sampling (each data shard

@@ -264,6 +264,46 @@ class Trainer:
         self.global_step += k
         return losses
 
+    def _multi_feed_sharding(self):
+        """Sharding for [k, B, ...] fused-feed payloads (None on one
+        device; ParallelTrainer shards dim 1 over the data axis)."""
+        return None
+
+    def _make_fused_feed(self, it, k: int, feed: str):
+        """(it, fused_feed) for train(steps_per_call=k, feed=...): wraps
+        the batch iterator into a double-buffered device stream of
+        [k, B, ...] stacked payloads (docs/PERF_NOTES.md: the measured-
+        best live host path — one transfer per k steps, overlapping the
+        previous dispatch). Returns fused_feed=None for per-step feeds
+        (with the peeked batch pushed back onto `it`)."""
+        import itertools
+
+        from openrec_tpu.data.pipeline import device_iterator
+
+        try:
+            first = next(it)
+        except StopIteration:
+            return iter(()), iter(())     # empty stream: loop exits
+        if feed == "auto":
+            feed = ("stacked"
+                    if all(np.ndim(v) >= 2 and np.shape(v)[0] == k
+                           for v in first.values())
+                    else "per_step")
+        if feed == "per_step":
+            return itertools.chain([first], it), None
+
+        def _restack(b):
+            if feed == "flat":
+                return {key: np.asarray(v).reshape(
+                    (k, -1) + np.asarray(v).shape[1:])
+                    for key, v in b.items()}
+            return b
+
+        stream = map(_restack, itertools.chain([first], it))
+        return it, device_iterator(stream,
+                                   sharding=self._multi_feed_sharding(),
+                                   prefetch=2)
+
     # ------------------------------------------------------------------ #
 
     def _default_eval_step(self, at, from_ids: bool = False):
@@ -446,7 +486,9 @@ class Trainer:
               scorer=None, eval_chunk: int = 16384,
               update_interval: Optional[int] = None,
               update_fn: Callable = None,
-              defer_metrics: bool = False) -> dict:
+              defer_metrics: bool = False,
+              feed: str = "auto",
+              verbose: bool = True) -> dict:
         """Iteration-driven loop (reference model_trainer.py:60-97).
 
         train_batches: iterable of batch dicts (e.g. Dataset.pairwise(...)).
@@ -456,6 +498,26 @@ class Trainer:
           step (the analog of a custom train_iter_func).
         steps_per_call: fuse this many optimizer steps into one device
           dispatch (see train_step_multi); intervals should be multiples.
+        feed: how train_batches maps onto fused dispatches when
+          steps_per_call = k > 1 (ignored at k=1 / for device samplers):
+          - 'per_step': each yielded dict is ONE step's batch; k dicts
+            are stacked in python per dispatch (the r4 behavior).
+          - 'flat': each yielded dict is ONE DISPATCH's payload as flat
+            [k·B] arrays (e.g. a single sampler call with
+            batch_size=k*B); reshaped to [k, B] zero-copy. The fastest
+            measured live host path (docs/PERF_NOTES.md) — one sampler
+            call and one host→device transfer per k steps, no python
+            stacking.
+          - 'stacked': each yielded dict is already [k, B, ...].
+          - 'auto': 'stacked' if every value's leading dim == k with
+            ndim ≥ 2, else 'per_step'. ('flat' cannot be auto-detected
+            — a flat [k·B] array is indistinguishable from one bigger
+            per-step batch; request it explicitly.)
+          'flat'/'stacked' payloads flow through device_iterator
+          double-buffering so the transfer of call i+1 overlaps the
+          device steps of call i; total_iter must be a multiple of k.
+        verbose: False silences console lines (JSONL logging unaffected)
+          — for harnesses that own stdout (e.g. bench.py).
         scorer: optional CachedDotProductScorer passed to interval evals —
           id-batch (device_masks) eval then runs the chunked giant-catalog
           path in O(B·eval_chunk) memory.
@@ -482,6 +544,7 @@ class Trainer:
         deferred = []        # (step, it/s, device loss, device eval dict)
         last_results = {}
         t_start = time.time()
+        log = self._log if verbose else (lambda *a, **k: None)
         # A Device*Sampler (data/device_sampler.py) trains with sampling
         # fused into the device program; anything else is a batch iterable.
         device_sampler = (train_batches
@@ -491,12 +554,20 @@ class Trainer:
         it = iter(train_batches) if device_sampler is None else None
         assert steps_per_call == 1 or train_iter_hook is None, \
             "train_iter_hook requires steps_per_call=1"
+        assert feed in ("auto", "per_step", "flat", "stacked"), feed
+        fused_feed = None
+        if device_sampler is None and steps_per_call > 1 \
+                and feed != "per_step":
+            it, fused_feed = self._make_fused_feed(it, steps_per_call,
+                                                   feed)
+            assert fused_feed is None or total_iter % steps_per_call == 0, \
+                "flat/stacked feeds need total_iter % steps_per_call == 0"
         if update_interval and update_fn is None:
             update_fn = jax.jit(self.model.update_embeddings)
 
-        self._log(_color(f"[openrec_tpu] start training "
-                         f"{type(self.model).__name__} for {total_iter} "
-                         "iterations", "1;34"))
+        log(_color(f"[openrec_tpu] start training "
+                   f"{type(self.model).__name__} for {total_iter} "
+                   "iterations", "1;34"))
         i = 0
         while i < total_iter:
             chunk = min(steps_per_call, total_iter - i)
@@ -504,6 +575,8 @@ class Trainer:
             try:
                 if device_sampler is not None:
                     loss = self.train_steps_device(device_sampler, chunk)
+                elif fused_feed is not None:
+                    loss = self._dispatch_multi(next(fused_feed), chunk)
                 elif chunk > 1:
                     loss = self.train_step_multi(
                         [next(it) for _ in range(chunk)])
@@ -514,8 +587,8 @@ class Trainer:
             except StopIteration:
                 # finite stream (e.g. chronological epoch) exhausted —
                 # the reference's samplers simply stop producing
-                self._log(f"train stream exhausted at iter "
-                          f"{self.global_step}")
+                log(f"train stream exhausted at iter "
+                    f"{self.global_step}")
                 break
             avg_loss.update_state(loss if defer_metrics
                                   else jax.device_get(loss))
@@ -541,9 +614,9 @@ class Trainer:
                 if defer_metrics:
                     deferred.append((self.global_step, its_per_s,
                                      avg_loss.result_device(), results))
-                    self._log(f"Iter {self.global_step}  "
-                              f"({its_per_s:.1f} it/s)  "
-                              "[metrics on device, fetched at end]")
+                    log(f"Iter {self.global_step}  "
+                        f"({its_per_s:.1f} it/s)  "
+                        "[metrics on device, fetched at end]")
                     avg_loss = DeviceMean()
                     t_start = time.time()
                     continue
@@ -556,7 +629,7 @@ class Trainer:
                         v = np.asarray(val)
                         parts.append(f"{key}={np.array2string(v, precision=4)}")
                     msg += f"  [{name}] " + " ".join(parts)
-                self._log(_color(msg, "32"))
+                log(_color(msg, "32"))
                 self._log_jsonl({"step": self.global_step,
                                  "loss": avg_loss.result(),
                                  "iters_per_s": its_per_s,
@@ -577,7 +650,7 @@ class Trainer:
                     parts = [f"{k}={np.array2string(np.asarray(v), precision=4)}"
                              for k, v in d.items()]
                     msg += f"  [{name}] " + " ".join(parts)
-                self._log(_color(msg, "32"))
+                log(_color(msg, "32"))
                 self._log_jsonl({"step": step, "loss": float(lv),
                                  "iters_per_s": its, "eval": res})
                 last_results = res

@@ -209,3 +209,28 @@ def test_defer_metrics_matches_host_path(tmp_path):
         np.testing.assert_allclose(np.asarray(dev_res["val"][k]),
                                    np.asarray(host_res["val"][k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_profile_writes_trace(tmp_path):
+    """Trainer.profile produces a device trace directory (the tracing
+    subsystem the reference lacks — SURVEY.md §5.1; VERDICT r4 weak #5)."""
+    import numpy as np
+
+    from openrec_tpu.data.samplers import PairwiseSampler
+    from openrec_tpu.data.store import InteractionStore
+    from openrec_tpu.models import BPR
+    from openrec_tpu.training import Trainer
+    from tests.conftest import make_interactions
+
+    store = InteractionStore(make_interactions(), 40, 100, seed=0)
+    s = PairwiseSampler(store, batch_size=32, seed=0)
+    model = BPR(total_users=40, total_items=100, dim_user_embed=8,
+                dim_item_embed=8)
+    tr = Trainer(model, lr=0.01, seed=0)
+    trace_dir = tmp_path / "trace"
+    out = tr.profile(iter(s), steps=3, trace_dir=str(trace_dir))
+    assert out == str(trace_dir)
+    produced = [p for p in trace_dir.rglob("*") if p.is_file()]
+    assert produced, "profiler wrote no trace files"
+    # params advanced by the profiled steps (compile step + 3 traced)
+    assert tr.global_step == 4

@@ -79,3 +79,59 @@ def test_trainer_sparse_tables_mode():
     ls = tr.train_steps_device(s, 5)
     assert np.isfinite(np.asarray(ls)).all()
     assert tr.global_step == 11
+
+
+def test_train_flat_feed_matches_manual_flat():
+    """feed='flat' (the public fused live path, VERDICT r4 #3) is
+    bit-identical to hand-feeding train_step_multi_flat."""
+    from openrec_tpu.models import BPR as _BPR
+
+    store = InteractionStore(make_interactions(), 40, 100, seed=0)
+    s = PairwiseSampler(store, batch_size=5 * 32, seed=0)
+    flat_batches = [s.sample() for _ in range(4)]
+    model = _BPR(total_users=40, total_items=100, dim_user_embed=8,
+                 dim_item_embed=8)
+
+    tr_a = Trainer(model, lr=0.01, seed=0)
+    for b in flat_batches:
+        tr_a.train_step_multi_flat(b, 5)
+
+    tr_b = Trainer(model, lr=0.01, seed=0)
+    tr_b.train(total_iter=20, train_batches=iter(flat_batches),
+               steps_per_call=5, feed="flat", verbose=False)
+    assert tr_b.global_step == 20
+    np.testing.assert_array_equal(np.asarray(tr_a.params["item_embed"]),
+                                  np.asarray(tr_b.params["item_embed"]))
+
+
+def test_train_auto_detects_stacked_feed():
+    """feed='auto' recognizes [k, B, ...] payloads and routes them
+    through the fused dispatch — same math as train_step_multi."""
+    batches = _batches(20)
+    k = 5
+    stacked = [{key: np.stack([b[key] for b in batches[i:i + k]])
+                for key in batches[0]} for i in range(0, 20, k)]
+    model = BPR(total_users=40, total_items=100, dim_user_embed=8,
+                dim_item_embed=8)
+
+    tr_a = Trainer(model, lr=0.01, seed=0)
+    for i in range(0, 20, k):
+        tr_a.train_step_multi(batches[i:i + k])
+
+    tr_b = Trainer(model, lr=0.01, seed=0)
+    tr_b.train(total_iter=20, train_batches=iter(stacked),
+               steps_per_call=k, verbose=False)
+    assert tr_b.global_step == 20
+    np.testing.assert_array_equal(np.asarray(tr_a.params["item_embed"]),
+                                  np.asarray(tr_b.params["item_embed"]))
+
+
+def test_train_verbose_false_is_silent(capsys):
+    store = InteractionStore(make_interactions(), 40, 100, seed=0)
+    s = PairwiseSampler(store, batch_size=32, seed=0)
+    model = BPR(total_users=40, total_items=100, dim_user_embed=8,
+                dim_item_embed=8)
+    tr = Trainer(model, lr=0.01, seed=0)
+    tr.train(total_iter=4, train_batches=iter(s), steps_per_call=2,
+             verbose=False)
+    assert capsys.readouterr().out == ""
