@@ -12,9 +12,12 @@ bundled with the reference either; throughput is data-independent).
 sampling fused with the K-step train program, every batch sampled fresh
 inside the timed loop (no pre-staging; the host sends one RNG key per
 dispatch). `modes` additionally reports `live` (host C++ sampler inside
-the timed loop, double-buffered host->device, fused K-step dispatches)
-and `prestaged` (device-step microbenchmark, feeder outside the timed
-region).
+the timed loop, double-buffered host->device, fused K-step dispatches
+through the PUBLIC Trainer.train(feed='flat') path) and `prestaged`
+(staged host batches, transfer-bound feed: the feeder runs outside the
+timed region but every batch still crosses host->device inside it —
+bound by the per-dispatch transfer, NOT a device-step measure; the
+device mode is ~9x faster with sampling included, BENCH_r04).
 
 vs_baseline: measured against a faithful TF/Keras re-statement of the
 reference's train step (Embedding lookups + GradientTape + keras Adam —
@@ -86,12 +89,16 @@ def _measure_host_paths(steps_per_call):
 
     - prestaged: flat batches sampled before the timed region (samplers
       are deterministic seeded streams, so sampling an epoch ahead is a
-      real supported feed mode) — the timed region is the device train
-      step alone.
-    - live: a 2-worker threaded Prefetcher samples INSIDE the timed loop,
-      overlapping the async dispatches — true end-to-end throughput on
-      this 2-vCPU host (the feeder is the ceiling here; its standalone
-      rate is benchmarks/feeder_rate.py).
+      real supported feed mode) — the timed region is the serial
+      host->device batch transfer + device step per dispatch. This is
+      TRANSFER-BOUND, not a device-step measure: the device mode (which
+      never transfers batches) runs ~9x faster WITH sampling included.
+    - live: a 2-worker threaded Prefetcher samples INSIDE the timed
+      loop, feeding the PUBLIC `Trainer.train(steps_per_call=k,
+      feed='flat')` path (double-buffered device_iterator + fused
+      dispatches inside train()) — true end-to-end throughput of the
+      documented API on this 2-vCPU host (the feeder is the ceiling
+      here; its standalone rate is benchmarks/feeder_rate.py).
 
     Returns (prestaged, live) examples/s.
     """
@@ -132,31 +139,27 @@ def _measure_host_paths(steps_per_call):
         prestaged = max(prestaged, n_calls * steps_per_call * BATCH / dt)
 
     # Live feeder: same compiled program, batches produced concurrently
-    # by the Prefetcher while previous dispatches run. The [k*B] flat
-    # batches reshape to [k, B] on the worker side of the queue and the
-    # host->device copies double-buffer through device_iterator so the
-    # transfer of call i+1 overlaps the device steps of call i.
-    from openrec_tpu.data.pipeline import device_iterator
-
-    def reshaped(it_):
-        for fb in it_:
-            yield {key: np.asarray(v).reshape(
-                (steps_per_call, -1) + np.asarray(v).shape[1:])
-                for key, v in fb.items()}
-
+    # by the Prefetcher while previous dispatches run, fed through the
+    # PUBLIC API — Trainer.train(feed='flat') reshapes each [k*B] flat
+    # batch to [k, B] (zero-copy) and double-buffers the host->device
+    # copies through device_iterator internally, so the transfer of call
+    # i+1 overlaps the device steps of call i (the r4 bench drove
+    # tr._dispatch_multi directly; VERDICT r4 #3 made this path public).
     n_workers = int(os.environ.get("OPENREC_BENCH_FEED_WORKERS", "2"))
     feeder = Prefetcher(flat_sampler, num_workers=n_workers, capacity=4)
-    fit = device_iterator(reshaped(iter(feeder)), prefetch=2)
-    next(fit)  # warm the worker threads + transfer pipeline
+    fit = iter(feeder)
+    next(fit)  # warm the worker threads
     live = 0.0
+    trial_iter = n_calls * steps_per_call
     try:
         for _ in range(3):
             t0 = time.perf_counter()
-            for _ in range(n_calls):
-                tr._dispatch_multi(next(fit), steps_per_call)
+            tr.train(total_iter=trial_iter, train_batches=fit,
+                     steps_per_call=steps_per_call, feed="flat",
+                     defer_metrics=True, verbose=False)
             jax.block_until_ready(tr.params)
             dt = time.perf_counter() - t0
-            live = max(live, n_calls * steps_per_call * BATCH / dt)
+            live = max(live, trial_iter * BATCH / dt)
     finally:
         feeder.stop()
     return prestaged, live
@@ -258,28 +261,36 @@ def main():
     # fused K-step train program; the host only sends one RNG key per
     # `steps_per_call` steps (the production recommendation,
     # docs/PERF_NOTES.md). `live` is the host-C++-sampled end-to-end
-    # rate (feeder inside the timed loop on this 2-vCPU host),
-    # `prestaged` the device-step microbenchmark (feeder outside the
-    # timed region). The metric string must describe whichever mode the
-    # value actually is (OPENREC_BENCH_SKIP_DEVICE=1 falls back to the
-    # host-fed live rate).
+    # rate (feeder inside the timed loop on this 2-vCPU host, through
+    # the public Trainer.train(feed='flat')), `prestaged` the staged-
+    # host-batch transfer-bound feed (feeder outside the timed region;
+    # bound by the per-dispatch host->device copy, NOT the device step).
+    # The metric string must describe whichever mode the value actually
+    # is (OPENREC_BENCH_SKIP_DEVICE=1 falls back to the host-fed live
+    # rate).
     if "device" in modes:
         ours = modes["device"]
+        headline_mode = "device"
         desc = ("end-to-end with ON-DEVICE sampling inside the timed "
                 "loop — fresh rejection-sampled batch every step, no "
                 "pre-staging")
     else:
         ours = modes["live"]
+        headline_mode = "live"
         desc = ("LIVE end-to-end, host C++ sampling inside the timed "
                 "loop (device mode skipped)")
     vs = ours / baseline if baseline else 0.0
     print(json.dumps({
         "metric": f"examples/s (BPR-CiteULike dim50 batch1000, {desc}; "
-                  "`modes.live` = host-C++-sampled end-to-end, "
-                  "`modes.prestaged` = device-step microbenchmark)",
+                  "`modes.live` = host-C++-sampled end-to-end via "
+                  "Trainer.train(feed='flat'), `modes.prestaged` = "
+                  "staged host batches, transfer-bound feed)",
         "value": round(ours, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs, 3),
+        # which `modes` entry `value` is — artifact diffing tools can
+        # detect a headline-semantic change programmatically (ADVICE r4)
+        "headline_mode": headline_mode,
         "modes": {k: round(v, 1) for k, v in modes.items()},
         "modes_vs_baseline": {k: round(v / baseline, 3) if baseline else 0.0
                               for k, v in modes.items()},
