@@ -45,6 +45,12 @@ BYTES = 4                   # fp32
 
 # measured single-chip anchors (dlrm_training_run.json r3/r4)
 MEASURED_MS_1CHIP = 0.22
+# measured scan-carry copy rate for giant donated carries (PERF_NOTES:
+# "sparse step under a 10-step scan" = 63.8 ms/step for 6.5 GB of
+# params+moments — XLA does NOT alias multi-GB scatter-updated carries)
+CARRY_COPY_BPS = 6.5e9 / 63.8e-3
+TABLE_STATE_BYTES = 33762577 * D_SPA * BYTES * 3   # rows + mu + nu
+FUSE_K = 16
 
 
 def dense_flops():
@@ -119,6 +125,58 @@ def step_bounds(d, m):
     }
 
 
+def _terms(d, m):
+    """Raw per-device time terms (seconds) for a d x m mesh at global
+    batch B — the shared arithmetic of step_bounds/variants."""
+    b_dev = B / d
+    t_mxu = dense_flops() / d / V5E_FP32_MXU
+    ids_global = B * N_TABLES * 0.6
+    t_hbm = (ids_global / (d * m)) * D_SPA * BYTES * 6 / V5E_HBM
+    ex_bytes = b_dev * N_TABLES * ((m - 1) / m) * (
+        2 * 4 + 2 * D_SPA * BYTES)
+    t_ex = ex_bytes / ICI_BW if m > 1 else 0.0
+    t_psum = (2 * (d - 1) / d) * dense_param_bytes() / ICI_BW \
+        if d > 1 else 0.0
+    flops_4096 = dense_flops() / B * 4096
+    t_floor_1 = flops_4096 / V5E_FP32_MXU
+    t_hbm_1 = 4096 * N_TABLES * 0.6 * D_SPA * BYTES * 6 / V5E_HBM
+    ovh = max(0.0, MEASURED_MS_1CHIP / 1e3 - max(t_floor_1, t_hbm_1))
+    return t_mxu, t_hbm, t_ex, t_psum, ovh
+
+
+def strong_variants(d, m):
+    """Strong-scaling bound under four execution models (VERDICT r4 #4):
+
+      per_step_overlap — per-step async dispatch, collectives fully
+        hidden under compute by the latency-hiding scheduler (the
+        headline model: t = max(mxu, hbm, ici) + overhead).
+      per_step_serial  — collectives on the critical path (overlap off):
+        t = max(mxu, hbm) + ici + overhead. The cost of NOT overlapping.
+      fusedK_carrycopy — mesh fused K-step (ParallelTrainer
+        .train_step_multi, K=16): dispatch overhead amortized /K, BUT
+        XLA copies the scatter-updated table+moment carry every scan
+        iteration at the MEASURED ~102 GB/s (PERF_NOTES; tables shard
+        over 'model' only, so a d x 1 mesh carries the FULL 6.5 GB per
+        chip). The honest fused-K bound for GIANT tables.
+      fusedK_alias     — hypothetical carry-aliased fused-K (what XLA
+        would need to do for fusion to pay at Criteo scale); also the
+        realistic bound for SMALL/MEDIUM-table models (BPR bench class),
+        whose carries fit VMEM and measurably do alias.
+    """
+    t_mxu, t_hbm, t_ex, t_psum, ovh = _terms(d, m)
+    carry = TABLE_STATE_BYTES / m / CARRY_COPY_BPS
+    models = {
+        "per_step_overlap": max(t_mxu, t_hbm, t_ex + t_psum) + ovh,
+        "per_step_serial": max(t_mxu, t_hbm) + t_ex + t_psum + ovh,
+        "fusedK_carrycopy": max(t_mxu, t_hbm, t_ex + t_psum)
+        + ovh / FUSE_K + carry,
+        "fusedK_alias": max(t_mxu, t_hbm, t_ex + t_psum) + ovh / FUSE_K,
+    }
+    return {"mesh": f"{d}x{m}", "chips": d * m,
+            **{f"t_step_us_{k}": round(v * 1e6, 1)
+               for k, v in models.items()}}
+
+
 def weak_scaling(d, m):
     """Per-chip batch held at 4096 (global batch = 4096*d): the
     production scaling mode — per-device dense compute is constant and
@@ -150,6 +208,16 @@ def main():
                           / 1e6, 1)
         r["scaling_eff_pct"] = round(100 * r["mexs"]
                                      / (wbase * r["chips"]), 1)
+    # {per-step, fused-K} x {overlap on/off} variant rows (VERDICT r4 #4)
+    variants = [strong_variants(d, m)
+                for d, m in ((1, 1), (2, 1), (4, 1), (8, 1), (4, 2))]
+    v_ideal = variants[0]["t_step_us_per_step_overlap"]
+    for r in variants:
+        for key in list(r):
+            if key.startswith("t_step_us_"):
+                name = key[len("t_step_us_"):]
+                r[f"eff_pct_{name}"] = round(
+                    100 * v_ideal / (r[key] * r["chips"]), 1)
     out = {
         "assumptions": {
             "fp32_mxu_flops": V5E_FP32_MXU, "hbm_Bps": V5E_HBM,
@@ -157,9 +225,26 @@ def main():
             "measured_1chip_ms": MEASURED_MS_1CHIP,
             "dense_flops_per_step": dense_flops(),
             "dense_param_bytes": dense_param_bytes(),
+            "carry_copy_Bps_measured": CARRY_COPY_BPS,
+            "fuse_k": FUSE_K,
         },
         "rows_strong_scaling_batch4096": rows,
         "rows_weak_scaling_4096_per_chip": weak,
+        "rows_strong_scaling_variants": variants,
+        "variants_note": (
+            "eff is vs the 1-chip per_step_overlap baseline (220us, "
+            "full dispatch overhead), so fusedK_alias exceeds 100% at "
+            "low chip counts — fusion also speeds up ONE chip; the "
+            "8-chip cells are the scaling verdict"),
+        "north_star_scope": (
+            "the >80% efficiency target (BASELINE.json) is a WEAK-"
+            "scaling statement (per-chip batch 4096, the production "
+            "mode): ~100% predicted at 2-8 chips. STRONG scaling at "
+            "fixed global batch 4096 tops out at 46% per_step_overlap "
+            "at 8 chips; the variant rows show no modeled lever "
+            "recovers it past 80% for the giant-table flagship "
+            "(fusedK_carrycopy is carry-copy-dominated; even the "
+            "hypothetical fusedK_alias stays psum-bound)"),
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "ici_paper_bound.json")
@@ -180,6 +265,18 @@ def main():
 
     show("STRONG scaling (global batch fixed at 4096)", rows)
     show("WEAK scaling (4096 per data shard — production mode)", weak)
+
+    print("\nSTRONG-scaling variants: {per-step, fused-K16} x "
+          "{overlap on/off} (step µs | eff %)")
+    names = ["per_step_overlap", "per_step_serial", "fusedK_carrycopy",
+             "fusedK_alias"]
+    print("| mesh | chips | " + " | ".join(names) + " |")
+    print("|---|---|" + "---|" * len(names))
+    for r in variants:
+        cells = [f"{r['t_step_us_' + n]} | {r['eff_pct_' + n]}%"
+                 for n in names]
+        print(f"| {r['mesh']} | {r['chips']} | " + " | ".join(cells)
+              + " |")
 
 
 if __name__ == "__main__":

@@ -127,7 +127,106 @@ def bench_case(users, items, dim, bucket=128, item_tile=2048, trials=50,
     return out
 
 
+def sweep():
+    """Operating-envelope grid for the matched-recall retrieval methods
+    (VERDICT r4 #5): k × batch at both reference catalogs, bf16 tables,
+    recall_target=0.995 for both approx_max_k and the two-level Pallas
+    kernel — certifying the 'pallas2 wins the ≥0.995 regime' guidance
+    beyond the single (B=256, k=100) point. Writes
+    pallas_topk_sweep.json (resumable; one exact-top-500 oracle per
+    (catalog, B) reused for every k by prefix-slicing)."""
+    path = os.path.join(os.path.dirname(__file__),
+                        "pallas_topk_sweep.json")
+    res = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            res = json.load(f)
+
+    def save():
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
+
+    ks = (10, 100, 500)
+    batches = (64, 256, 1024)
+    cases = {
+        "tradesy_165906x64": (19243, 165906, 64),
+        "amazon_450166x64": (99473, 450166, 64),
+    }
+    # tradesy covers the grid corners only (compile budget: each cell is
+    # 2 remote-compiled programs); amazon runs the full 3x3
+    corners = {(10, 64), (10, 1024), (500, 64), (500, 1024), (100, 256)}
+    trials = 30
+    for tag, (users, items, dim) in cases.items():
+        rng = np.random.default_rng(0)
+        U = (rng.normal(size=(users, dim)) / np.sqrt(dim)).astype(
+            np.float32)
+        V = (rng.normal(size=(items, dim)) / np.sqrt(dim)).astype(
+            np.float32)
+        bias = (rng.normal(size=(items,)) * 0.01).astype(np.float32)
+        V_bf16 = jnp.asarray(V).astype(jnp.bfloat16)
+        b_dev = jnp.asarray(bias)
+        V_dev = jnp.asarray(V)
+        for B in batches:
+            pool = [jnp.asarray(U[(np.arange(B) + t * B) % users])
+                    for t in range(POOL)]
+            oracle_key = f"{tag}_B{B}"
+            # exact top-500 oracle, reused for every k (prefix property)
+            exact = jax.jit(lambda u: topk_xla(u, V_dev, b_dev, max(ks)))
+            ref_i = None
+            for k in ks:
+                if tag.startswith("tradesy") and (k, B) not in corners:
+                    continue
+                cell = f"{tag}_B{B}_k{k}"
+                if cell in res:
+                    print(f"[{cell}] (kept)", flush=True)
+                    continue
+                if ref_i is None:
+                    rv, ri = exact(pool[0])
+                    jax.block_until_ready(ri)
+                    ref_i = np.asarray(ri)
+                fns = {
+                    "approx-bf16-r995": jax.jit(
+                        lambda u, k=k: topk_approx(
+                            u, V_bf16, b_dev, k, recall_target=0.995)),
+                    "pallas2-bf16-r995": jax.jit(
+                        lambda u, k=k: pallas_score_topk(
+                            u, V_bf16, b_dev, k, item_tile=4096,
+                            recall_target=0.995, per_bucket=2)),
+                }
+                out = {}
+                for name, fn in fns.items():
+                    vals, idx = fn(pool[0])
+                    jax.block_until_ready((vals, idx))
+                    t0 = time.perf_counter()
+                    for t in range(trials):
+                        vals, idx = fn(pool[t % POOL])
+                    jax.block_until_ready((vals, idx))
+                    ms = (time.perf_counter() - t0) / trials * 1e3
+                    idx = np.asarray(fn(pool[0])[1])
+                    recall = np.mean([
+                        len(set(ref_i[r, :k].tolist())
+                            & set(idx[r].tolist())) / k
+                        for r in range(B)])
+                    out[name] = {
+                        "pipelined_ms": round(ms, 4),
+                        "pipelined_qps": round(B / (ms / 1e3)),
+                        "recall_vs_fp32_exact": round(float(recall), 4),
+                    }
+                    print(f"[{cell}] {name}: {out[name]}", flush=True)
+                a, p = (out["approx-bf16-r995"]["pipelined_ms"],
+                        out["pallas2-bf16-r995"]["pipelined_ms"])
+                out["pallas2_speedup"] = round(a / p, 2)
+                res[cell] = out
+                save()
+            del pool
+    print(json.dumps(res, indent=1))
+    save()
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        sweep()
+        sys.exit(0)
     # resume-from-JSON: completed modes are kept (the remote-compile
     # tunnel can drop mid-run); pass catalog tags as argv to restrict.
     path = os.path.join(os.path.dirname(__file__), "pallas_topk.json")

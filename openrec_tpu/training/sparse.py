@@ -212,11 +212,16 @@ class Hashed:
     benchmarks/dlrm_sparse_roofline.py (`sparse_ab`).
 
     Contract: ids are non-negative int32 < 2^31-1 (the empty sentinel).
+
+    rounds / lookup_unroll: unrolled probe rounds for insertion and for
+    the in-loss lookup (stragglers always finish under a while_loop, so
+    these are perf knobs, not correctness ones).
     """
 
-    def __init__(self, ids, rounds: int = 8):
+    def __init__(self, ids, rounds: int = 8, lookup_unroll: int = 8):
         self.ids = ids
         self.rounds = int(rounds)
+        self.lookup_unroll = int(lookup_unroll)
 
 
 def _hash_probe(ids_i32, S: int):
@@ -329,9 +334,10 @@ class HashSubTable:
     sort-free sibling of `SubTable`): lookup re-probes the slot table
     instead of binary-searching sorted uids."""
 
-    def __init__(self, slot_ids, rows):
+    def __init__(self, slot_ids, rows, unroll: int = 8):
         self.slot_ids = slot_ids          # [S] int32, EMPTY-sentinel pads
         self.rows = rows                  # [S, D]
+        self.unroll = int(unroll)
 
     @property
     def shape(self):
@@ -342,7 +348,7 @@ class HashSubTable:
         return self.rows.dtype
 
     def lookup(self, ids):
-        pos = hash_positions(self.slot_ids, ids)
+        pos = hash_positions(self.slot_ids, ids, unroll=self.unroll)
         return jnp.take(self.rows, pos, axis=0, mode="clip")
 
     @property
@@ -353,11 +359,11 @@ class HashSubTable:
             "sparse_train_step)")
 
     def tree_flatten(self):
-        return (self.slot_ids, self.rows), None
+        return (self.slot_ids, self.rows), self.unroll
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, unroll=aux)
 
 
 class SparseAdamState(NamedTuple):
@@ -428,19 +434,28 @@ def dlrm_fused_table_spec(model, columnwise: bool = False,
                      tests/test_sparse_step.py).
       'hash'       — Hashed: SORT-FREE dedup by parallel insertion into
                      a 2×-cap hash-slot table (`unique_hashed`); lookups
-                     re-probe (`HashSubTable`). Removes the flat sort
-                     (the measured bound of the Criteo sparse step) at
-                     the cost of a ~2.5× larger gathered rowset; same
-                     exact lazy semantics / bit-identical trajectories.
-                     Measured A/B: benchmarks/dlrm_sparse_roofline.py.
+                     re-probe (`HashSubTable`). Same exact lazy
+                     semantics / bit-identical trajectories. MEASURED
+                     r5 (benchmarks/dlrm_sparse_roofline.json): wins
+                     the isolated sparse machinery (0.315 vs 0.41 ms)
+                     but NOT the full Criteo step (parity to -15% in
+                     same-process brackets — the flat sort overlaps
+                     with dense MXU work; the ~2.5× larger gathered
+                     rowset + probe chain eat the gain). Keep flat for
+                     DLRM; hash suits embedding-dominated models with
+                     little dense compute to overlap. 'hashR' (e.g.
+                     'hash4') sets both probe-round knobs to R.
 
     Per-table offset ranges are disjoint and increasing by construction,
     satisfying the columns/mixed contracts."""
     mode = "columns" if columnwise and mode is None else (mode or "flat")
-    if mode == "hash":
+    if mode.startswith("hash"):
+        # 'hashR' (e.g. 'hash4') sets both probe-round knobs to R
+        r = int(mode[4:]) if len(mode) > 4 else 8
         return {"embed_fused":
                 lambda batch: Hashed(model.flat_sparse_ids(
-                    batch["sparse_features"]).reshape(-1))}
+                    batch["sparse_features"]).reshape(-1),
+                    rounds=r, lookup_unroll=r)}
     if mode == "mixed":
         counts = tuple(model.ln_emb)
         offsets = tuple(model.table_offsets[:-1])
@@ -509,13 +524,13 @@ def make_sparse_train_step(model, table_specs,
         # flatten through the flat sort-dedup.
         # id_cap does not apply to Columns/ColumnIds/Hashed.
         uids, valid = {}, {}
-        hashed_paths = set()
+        hashed_paths = {}              # path -> lookup unroll
         for path, extract in specs.items():
             raw = extract(batch)
             if isinstance(raw, Hashed):
                 uids[path], valid[path] = unique_hashed(raw.ids,
                                                         rounds=raw.rounds)
-                hashed_paths.add(path)
+                hashed_paths[path] = raw.lookup_unroll
                 continue
             if isinstance(raw, ColumnIds):
                 uids[path], valid[path] = unique_padded_mixed(raw)
@@ -544,7 +559,8 @@ def make_sparse_train_step(model, table_specs,
             for k, v in dense.items():
                 p = _set_path(p, (k,), v)
             for path in specs:
-                view = (HashSubTable(uids[path], r[path])
+                view = (HashSubTable(uids[path], r[path],
+                                     unroll=hashed_paths[path])
                         if path in hashed_paths
                         else SubTable(uids[path], r[path]))
                 p = _set_path(p, path, view)
