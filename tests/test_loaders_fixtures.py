@@ -144,3 +144,31 @@ def test_criteo_split_covers_every_row_exactly_once():
         y_all = data["y"]
     got = np.concatenate([raw["y_train"], raw["y_val"], raw["y_test"]])
     assert np.array_equal(np.sort(got), np.sort(y_all.astype(np.float32)))
+
+
+def test_write_synthetic_criteo_npz_roundtrip(tmp_path):
+    """The on-disk generator writes the reference's exact npz layout and
+    load_criteo ingests it (the beyond-fixture ingest path of
+    examples/dlrm_criteo.py, OPENREC_CRITEO_FROM_DISK)."""
+    import numpy as np
+
+    from openrec_tpu.data import loaders
+
+    path = tmp_path / "dataset" / "criteo" / "kaggle_processed.npz"
+    size = loaders.write_synthetic_criteo_npz(str(path), num_records=700,
+                                              seed=3)
+    assert size == path.stat().st_size > 0
+    with np.load(path) as f:
+        assert set(f.files) == {"X_int", "X_cat", "y", "counts"}
+        assert f["X_int"].shape == (700, 13)
+        assert f["X_cat"].shape == (700, 26)
+    raw = loaders.load_criteo(str(tmp_path / "dataset"), seed=0)
+    n_train = len(raw["y_train"])
+    assert n_train == sum(len(np.array_split(np.arange(700), 7)[i])
+                          for i in range(6))
+    assert len(raw["y_val"]) + len(raw["y_test"]) == 700 - n_train
+    # loader applied the log transform to the raw integer counts
+    assert raw["X_int_train"].dtype == np.float32
+    assert (raw["X_int_train"] >= 0).all()
+    for t in range(26):
+        assert raw["X_cat_train"][:, t].max() < raw["counts"][t]

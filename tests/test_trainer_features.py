@@ -234,3 +234,37 @@ def test_profile_writes_trace(tmp_path):
     assert produced, "profiler wrote no trace files"
     # params advanced by the profiled steps (compile step + 3 traced)
     assert tr.global_step == 4
+
+
+def test_evaluate_shows_progress_on_tty(monkeypatch, capsys):
+    """Long evals print an in-place progress line when stdout is a tty
+    (parity with the reference's tqdm bar,
+    implicit_model_trainer.py:137). Tty-gated so piped logs stay clean."""
+    import sys
+
+    import numpy as np
+
+    from openrec_tpu.data import Dataset
+    from openrec_tpu.models import BPR
+    from openrec_tpu.training import Trainer
+    from tests.conftest import make_interactions
+
+    ds = Dataset(make_interactions(), 40, 100, seed=0)
+    model = BPR(total_users=40, total_items=100, dim_user_embed=8,
+                dim_item_embed=8)
+    tr = Trainer(model, lr=0.01, seed=0)
+    monkeypatch.setattr(sys.stdout, "isatty", lambda: True)
+    # the progress line is throttled to one repaint per 0.5s; make every
+    # clock read advance a full second so even a fast CPU eval paints it
+    counter = {"t": 0.0}
+
+    def fake_time():
+        counter["t"] += 1.0
+        return counter["t"]
+
+    monkeypatch.setattr("openrec_tpu.training.trainer.time.time",
+                        fake_time)
+    res = tr.evaluate(ds.evaluation(batch_size=8), at=(10,))
+    out = capsys.readouterr().out
+    assert "eval batch" in out
+    assert np.isfinite(res["AUC"])
