@@ -144,13 +144,17 @@ class CachedDotProductScorer:
         ops/bucketed_topk.py — the scores never reach HBM; same guarantee
         class as 'approx'), or 'pallas2' (two-level kernel, top-2 per
         bucket — squared collision loss). Measured rule
-        (docs/PERF_NOTES.md + benchmarks/pallas_topk.json r4):
-        'pallas' with recall_target=None at its native ratio-128 point
-        (recall 0.96-0.99) is ~1.5× 'approx'; for recall floors ≥ 0.995
-        use method='pallas2' with recall_target=0.995 — 2.2-2.5×
-        'approx' at matched targets (232k/197k qps at tradesy/amazon,
-        measured recall 0.999+). `approx=True` is the backward-compatible
-        spelling of method='approx'."""
+        (docs/PERF_NOTES.md; grid in benchmarks/pallas_topk_sweep.json,
+        k ∈ {10,100,500} × B ∈ {64,256,1024}): 'pallas' with
+        recall_target=None at its native ratio-128 point (recall
+        0.96-0.99) is ~1.5× 'approx'; for recall floors ≥ 0.995 use
+        method='pallas2' with recall_target=0.995 **when k ≥ 100 with
+        batch ≥ 256, or k ≥ 500 at any batch** — 2.2-10.9× 'approx' at
+        matched targets across the grid, recall ≥ approx's in every
+        cell; keep 'approx' for k ≤ 10 (huge bucket ratios lose to
+        PartialReduce) and at batch 64 with k=100 (sub-256 batches pad
+        to the kernel's user block). `approx=True` is the
+        backward-compatible spelling of method='approx'."""
         if method is None:
             method = "approx" if approx else "exact"
         if self._dirty:
