@@ -8,30 +8,45 @@ Workload = the reference's headline config (tf2_examples/bpr_citeulike.py:
 Interactions are synthetic at CiteULike scale (the real dataset isn't
 bundled with the reference either; throughput is data-independent).
 
-`value` is the fastest LIVE end-to-end rate: on-device rejection
-sampling fused with the K-step train program, every batch sampled fresh
-inside the timed loop (no pre-staging; the host sends one RNG key per
-dispatch). `modes` additionally reports `live` (host C++ sampler inside
-the timed loop, double-buffered host->device, fused K-step dispatches
-through the PUBLIC Trainer.train(feed='flat') path) and `prestaged`
-(staged host batches, transfer-bound feed: the feeder runs outside the
-timed region but every batch still crosses host->device inside it —
-bound by the per-dispatch transfer, NOT a device-step measure; the
-device mode is ~9x faster with sampling included, BENCH_r04).
+MEASUREMENT INTEGRITY (r5 — supersedes the r1-r4 methodology): on this
+tunneled backend `jax.block_until_ready` is an ENQUEUE-ACK, not an
+execution barrier — loops "timed" with it measure the host's dispatch
+issue rate (up to ~120x the real rate; docs/PERF_NOTES.md "r5
+measurement-integrity"). Every mode here is therefore timed with a
+FETCH-SYNCED region: dispatch N fused calls, then fetch a scalar that
+data-depends on the final params through an AOT-compiled probe (no
+compile inside the region). The region is sized to ~1-2 minutes so the
+per-process first-fetch constant (~3-25s) is a bounded fraction; the
+issue rate is also reported as `issue_rates` — it is a real property of
+the host pipeline (how fast batches can be produced/enqueued), just not
+a device throughput. One subprocess per mode: the first fetch flips the
+client into sync-mode dispatch, which would distort any later mode in
+the same process.
+
+Modes (identical per-step math: uniform positive + rejection-sampled
+negative, BPR loss + l2, Adam sparse-embedding semantics):
+  device    — on-device sampling fused with the K-step train program
+              (Trainer.train_steps_device); the host sends one RNG key
+              per K steps. Fastest true path: the batch never exists on
+              the host.
+  prestaged — flat host batches sampled before the region; each K-step
+              dispatch transfers its k*B batch (Trainer
+              .train_step_multi_flat).
+  live      — C++-sampled batches produced INSIDE the region by a
+              2-worker Prefetcher, fed through the public
+              Trainer.train(feed='flat') path.
 
 vs_baseline: measured against a faithful TF/Keras re-statement of the
-reference's train step (Embedding lookups + GradientTape + keras Adam —
-exactly what tf2_examples/bpr_citeulike.py:33-39 executes) on this
+reference's train step (tf2_examples/bpr_citeulike.py:33-39) on this
 machine's CPU, cached in BENCH_BASELINE.json after first measurement.
 """
 
 import json
 import os
 
-# Persistent compilation cache: repeat runs skip the (minutes-long)
-# remote compiles.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+import subprocess
 import sys
 import time
 
@@ -41,7 +56,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
 
 USERS, ITEMS, DIM, BATCH = 5551, 16980, 50, 1000
-WARMUP_STEPS, MEASURE_STEPS = 20, 4000
+K = int(os.environ.get("OPENREC_BENCH_STEPS_PER_CALL", "400"))
+# region sizes (fused K-step calls) per mode — sized for ~1-2 min of
+# TRUE work at the measured per-call costs (device ~50ms, prestaged
+# ~190ms, live ~50-190ms; PERF_NOTES r5) so the fetch constant is noise
+N_CALLS = {"device": int(os.environ.get("OPENREC_BENCH_N_DEVICE", "2000")),
+           "prestaged": int(os.environ.get("OPENREC_BENCH_N_HOST", "500")),
+           "live": int(os.environ.get("OPENREC_BENCH_N_HOST", "500"))}
 
 
 def synth_interactions(n=204057, seed=0):
@@ -53,140 +74,67 @@ def synth_interactions(n=204057, seed=0):
     return data
 
 
-def _measure_device_path(steps_per_call):
-    """On-device sampling fused with the train step
-    (Trainer.train_steps_device): zero host work per step."""
+def measure_mode(mode):
+    """Fetch-synced measurement of one mode; prints a JSON line."""
     import jax
-
-    from openrec_tpu.data import InteractionStore
-    from openrec_tpu.data.device_sampler import DevicePairwiseSampler
-    from openrec_tpu.models import BPR
-    from openrec_tpu.training import Trainer
-
-    store = InteractionStore(synth_interactions(), USERS, ITEMS, seed=0)
-    model = BPR(total_users=USERS, total_items=ITEMS, dim_user_embed=DIM,
-                dim_item_embed=DIM)
-    tr = Trainer(model, lr=1e-3, seed=0)
-    sampler = DevicePairwiseSampler(store, batch_size=BATCH)
-
-    tr.train_steps_device(sampler, steps_per_call)   # compile + warm
-    tr.train_steps_device(sampler, steps_per_call)
-    jax.block_until_ready(tr.params)
-
-    t0 = time.perf_counter()
-    n_calls = max(1, MEASURE_STEPS // steps_per_call)
-    for _ in range(n_calls):
-        tr.train_steps_device(sampler, steps_per_call)
-    jax.block_until_ready(tr.params)
-    dt = time.perf_counter() - t0
-    return n_calls * steps_per_call * BATCH / dt
-
-
-def _measure_host_paths(steps_per_call):
-    """Host-side sampling (reference-exact semantics) + fused multi-step
-    dispatch (Trainer.train_step_multi_flat), measured in BOTH feed modes
-    sharing one compiled program:
-
-    - prestaged: flat batches sampled before the timed region (samplers
-      are deterministic seeded streams, so sampling an epoch ahead is a
-      real supported feed mode) — the timed region is the serial
-      host->device batch transfer + device step per dispatch. This is
-      TRANSFER-BOUND, not a device-step measure: the device mode (which
-      never transfers batches) runs ~9x faster WITH sampling included.
-    - live: a 2-worker threaded Prefetcher samples INSIDE the timed
-      loop, feeding the PUBLIC `Trainer.train(steps_per_call=k,
-      feed='flat')` path (double-buffered device_iterator + fused
-      dispatches inside train()) — true end-to-end throughput of the
-      documented API on this 2-vCPU host (the feeder is the ceiling
-      here; its standalone rate is benchmarks/feeder_rate.py).
-
-    Returns (prestaged, live) examples/s.
-    """
-    import jax
+    import jax.numpy as jnp
 
     from openrec_tpu.data import InteractionStore, Prefetcher
+    from openrec_tpu.data.device_sampler import DevicePairwiseSampler
     from openrec_tpu.data.samplers import PairwiseSampler
     from openrec_tpu.models import BPR
     from openrec_tpu.training import Trainer
 
+    n_calls = N_CALLS[mode]
     store = InteractionStore(synth_interactions(), USERS, ITEMS, seed=0)
     model = BPR(total_users=USERS, total_items=ITEMS, dim_user_embed=DIM,
                 dim_item_embed=DIM)
     tr = Trainer(model, lr=1e-3, seed=0)
-    # One flat sampler call per dispatch (k·B examples).
-    flat_sampler = PairwiseSampler(store, batch_size=steps_per_call * BATCH,
-                                   seed=0)
-    it = iter(flat_sampler)
-    n_calls = max(1, MEASURE_STEPS // steps_per_call)
-    # Distinct batches per call (identical-args dispatch loops give
-    # async-dispatch artifacts on this backend — CLAUDE.md).
-    staged = [next(it) for _ in range(n_calls)]
+    # AOT-compiled scalar probe: data-depends on params, compiles with
+    # NO execute/fetch (a pre-region fetch would flip sync mode)
+    probe = jax.jit(lambda p: jnp.sum(p["user_embed"][0])
+                    + jnp.sum(p["item_bias"][0]))
+    probe_c = probe.lower(tr.params).compile()
 
-    tr.train_step_multi_flat(staged[0], steps_per_call)
-    tr.train_step_multi_flat(staged[1 % n_calls], steps_per_call)
-    jax.block_until_ready(tr.params)
+    feeder = None
+    if mode == "device":
+        sampler = DevicePairwiseSampler(store, batch_size=BATCH)
+        tr.train_steps_device(sampler, K)           # compile + warm
+        run_region = lambda: [tr.train_steps_device(sampler, K)
+                              for _ in range(n_calls)]
+    elif mode == "prestaged":
+        flat = PairwiseSampler(store, batch_size=K * BATCH, seed=0)
+        it = iter(flat)
+        staged = [next(it) for _ in range(min(n_calls, 50))]
+        tr.train_step_multi_flat(staged[0], K)      # compile + warm
+        run_region = lambda: [tr.train_step_multi_flat(
+            staged[i % len(staged)], K) for i in range(n_calls)]
+    else:
+        flat = PairwiseSampler(store, batch_size=K * BATCH, seed=0)
+        feeder = Prefetcher(flat, num_workers=int(os.environ.get(
+            "OPENREC_BENCH_FEED_WORKERS", "2")), capacity=4)
+        fit = iter(feeder)
+        tr.train_step_multi_flat(next(fit), K)      # compile + warm
+        run_region = lambda: tr.train(
+            total_iter=n_calls * K, train_batches=fit, steps_per_call=K,
+            feed="flat", defer_metrics=True, verbose=False)
+    jax.block_until_ready(tr.params)   # enqueue-ack; real drain below
+    time.sleep(15)                     # let the warm call finish for real
 
-    # Best of 5 trials: the dispatch thread still shares the 2 vCPUs with
-    # whatever else runs on the host, so single-trial numbers can be
-    # noisy; the best trial is stable.
-    prestaged = 0.0
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for b in staged:
-            tr.train_step_multi_flat(b, steps_per_call)
-        jax.block_until_ready(tr.params)
-        dt = time.perf_counter() - t0
-        prestaged = max(prestaged, n_calls * steps_per_call * BATCH / dt)
-
-    # Live feeder: same compiled program, batches produced concurrently
-    # by the Prefetcher while previous dispatches run, fed through the
-    # PUBLIC API — Trainer.train(feed='flat') reshapes each [k*B] flat
-    # batch to [k, B] (zero-copy) and double-buffers the host->device
-    # copies through device_iterator internally, so the transfer of call
-    # i+1 overlaps the device steps of call i (the r4 bench drove
-    # tr._dispatch_multi directly; VERDICT r4 #3 made this path public).
-    n_workers = int(os.environ.get("OPENREC_BENCH_FEED_WORKERS", "2"))
-    feeder = Prefetcher(flat_sampler, num_workers=n_workers, capacity=4)
-    fit = iter(feeder)
-    next(fit)  # warm the worker threads
-    live = 0.0
-    trial_iter = n_calls * steps_per_call
-    try:
-        for _ in range(3):
-            t0 = time.perf_counter()
-            tr.train(total_iter=trial_iter, train_batches=fit,
-                     steps_per_call=steps_per_call, feed="flat",
-                     defer_metrics=True, verbose=False)
-            jax.block_until_ready(tr.params)
-            dt = time.perf_counter() - t0
-            live = max(live, trial_iter * BATCH / dt)
-    finally:
+    t0 = time.perf_counter()
+    run_region()
+    t_issue = time.perf_counter() - t0
+    float(probe_c(tr.params))          # the only true barrier: a fetch
+    t_total = time.perf_counter() - t0
+    if feeder is not None:
         feeder.stop()
-    return prestaged, live
-
-
-def measure_ours(steps_per_call=None):
-    """All three supported feed modes (same per-step math as the
-    reference loop: uniform positive record + rejection-sampled negative,
-    BPR loss + l2, Adam with sparse embedding semantics):
-    prestaged / live (host-sampled) and device (on-device sampling).
-    Returns a dict of examples/s. OPENREC_BENCH_SKIP_DEVICE=1 skips the
-    device path (it adds its own multi-minute remote compile)."""
-    if steps_per_call is None:
-        # 400 fused steps per dispatch: the r4 grid (k in {200,400} x
-        # workers in {2,3}) put k=400/w=2 on top for BOTH host modes
-        # (live 55.4M vs 45.5M at k=200; prestaged 91.9M vs 61.3M in the
-        # same process) — deeper fusion amortizes the dispatch RTT and
-        # halves the feeder's per-call overhead.
-        steps_per_call = int(os.environ.get("OPENREC_BENCH_STEPS_PER_CALL",
-                                            "400"))
-    prestaged, live = _measure_host_paths(steps_per_call)
-    modes = {"prestaged": prestaged, "live": live}
-    if os.environ.get("OPENREC_BENCH_SKIP_DEVICE") != "1":
-        modes["device"] = _measure_device_path(steps_per_call)
-    print("  ".join(f"{k}: {v:.0f} ex/s" for k, v in modes.items()),
-          file=sys.stderr)
-    return modes
+    ex = n_calls * K * BATCH
+    print(json.dumps({
+        "mode": mode, "examples": ex,
+        "true_rate": ex / t_total,
+        "issue_rate": ex / t_issue,
+        "t_total_s": round(t_total, 3), "t_issue_s": round(t_issue, 3),
+    }))
 
 
 def measure_tf_reference():
@@ -201,7 +149,6 @@ def measure_tf_reference():
     item_bias = tf.keras.layers.Embedding(ITEMS, 1,
                                           embeddings_initializer="zeros")
     opt = tf.keras.optimizers.Adam()
-    variables = None
 
     @tf.function
     def train_step(user_id, p_item_id, n_item_id):
@@ -254,48 +201,49 @@ def get_baseline():
 
 def main():
     baseline = get_baseline()
-    modes = measure_ours()
-    # Headline = the fastest LIVE end-to-end rate: every batch is
-    # sampled DURING the timed loop (no pre-staging anywhere). That is
-    # the `device` mode — on-device rejection sampling feeding the
-    # fused K-step train program; the host only sends one RNG key per
-    # `steps_per_call` steps (the production recommendation,
-    # docs/PERF_NOTES.md). `live` is the host-C++-sampled end-to-end
-    # rate (feeder inside the timed loop on this 2-vCPU host, through
-    # the public Trainer.train(feed='flat')), `prestaged` the staged-
-    # host-batch transfer-bound feed (feeder outside the timed region;
-    # bound by the per-dispatch host->device copy, NOT the device step).
-    # The metric string must describe whichever mode the value actually
-    # is (OPENREC_BENCH_SKIP_DEVICE=1 falls back to the host-fed live
-    # rate).
-    if "device" in modes:
-        ours = modes["device"]
-        headline_mode = "device"
-        desc = ("end-to-end with ON-DEVICE sampling inside the timed "
-                "loop — fresh rejection-sampled batch every step, no "
-                "pre-staging")
-    else:
-        ours = modes["live"]
-        headline_mode = "live"
-        desc = ("LIVE end-to-end, host C++ sampling inside the timed "
-                "loop (device mode skipped)")
+    modes, issue = {}, {}
+    for mode in ("prestaged", "live", "device"):
+        if os.environ.get("OPENREC_BENCH_SKIP_DEVICE") == "1" \
+                and mode == "device":
+            continue
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__),
+                               mode], capture_output=True, text=True,
+                              timeout=1800)
+        if proc.returncode != 0:
+            print(f"{mode} failed:\n{proc.stdout[-1500:]}\n"
+                  f"{proc.stderr[-1500:]}", file=sys.stderr)
+            continue
+        rec = json.loads(proc.stdout.strip().splitlines()[-1])
+        modes[mode] = rec["true_rate"]
+        issue[mode] = rec["issue_rate"]
+        print(f"{mode}: TRUE {rec['true_rate']/1e6:.1f}M ex/s "
+              f"(issue {rec['issue_rate']/1e6:.0f}M, "
+              f"{rec['t_total_s']}s region)", file=sys.stderr)
+    headline_mode = "device" if "device" in modes else "live"
+    ours = modes[headline_mode]
     vs = ours / baseline if baseline else 0.0
     print(json.dumps({
-        "metric": f"examples/s (BPR-CiteULike dim50 batch1000, {desc}; "
-                  "`modes.live` = host-C++-sampled end-to-end via "
-                  "Trainer.train(feed='flat'), `modes.prestaged` = "
-                  "staged host batches, transfer-bound feed)",
+        "metric": "examples/s (BPR-CiteULike dim50 batch1000; value = "
+                  f"{headline_mode} mode, FETCH-SYNCED true end-to-end "
+                  "rate — region ends with a params-dependent scalar "
+                  "fetch, the only execution barrier this tunneled "
+                  "backend honors (block_until_ready is an enqueue-ack; "
+                  "r1-r4 'modes' values were dispatch-issue rates). "
+                  "issue_rates = host pipeline capability, NOT device "
+                  "throughput",
         "value": round(ours, 1),
         "unit": "examples/s",
         "vs_baseline": round(vs, 3),
-        # which `modes` entry `value` is — artifact diffing tools can
-        # detect a headline-semantic change programmatically (ADVICE r4)
         "headline_mode": headline_mode,
         "modes": {k: round(v, 1) for k, v in modes.items()},
         "modes_vs_baseline": {k: round(v / baseline, 3) if baseline else 0.0
                               for k, v in modes.items()},
+        "issue_rates": {k: round(v, 1) for k, v in issue.items()},
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1:
+        measure_mode(sys.argv[1])
+    else:
+        main()

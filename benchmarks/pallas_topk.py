@@ -223,9 +223,78 @@ def sweep():
     save()
 
 
+def validate_fetch_synced():
+    """r5: re-time three representative sweep cells with the only
+    barrier this backend honors — keep ALL trial outputs and fetch them
+    at region end (retrieval calls are independent, so fetching only
+    the last output would not prove earlier calls ran; block_until_ready
+    is an enqueue-ack — PERF_NOTES r5). Stores
+    `fetch_synced_validation` in pallas_topk_sweep.json for comparison
+    against the block-timed grid."""
+    path = os.path.join(os.path.dirname(__file__),
+                        "pallas_topk_sweep.json")
+    with open(path) as f:
+        res = json.load(f)
+    out = res.setdefault("fetch_synced_validation", {})
+    cells = [("tradesy_165906x64", 19243, 165906, 64, 256, 100),
+             ("amazon_450166x64", 99473, 450166, 64, 256, 100),
+             ("amazon_450166x64", 99473, 450166, 64, 1024, 500)]
+    trials = 30
+    for tag, users, items, dim, B, k in cells:
+        cell = f"{tag}_B{B}_k{k}"
+        if cell in out:
+            print(f"[{cell}] (kept)", flush=True)
+            continue
+        rng = np.random.default_rng(0)
+        U = (rng.normal(size=(users, dim)) / np.sqrt(dim)).astype(
+            np.float32)
+        V = (rng.normal(size=(items, dim)) / np.sqrt(dim)).astype(
+            np.float32)
+        bias = (rng.normal(size=(items,)) * 0.01).astype(np.float32)
+        V_bf16 = jnp.asarray(V).astype(jnp.bfloat16)
+        b_dev = jnp.asarray(bias)
+        pool = [jnp.asarray(U[(np.arange(B) + t * B) % users])
+                for t in range(POOL)]
+        fns = {
+            "approx-bf16-r995": jax.jit(lambda u: topk_approx(
+                u, V_bf16, b_dev, k, recall_target=0.995)),
+            "pallas2-bf16-r995": jax.jit(lambda u: pallas_score_topk(
+                u, V_bf16, b_dev, k, item_tile=4096,
+                recall_target=0.995, per_bucket=2)),
+        }
+        rec = {}
+        for name, fn in fns.items():
+            outs = fn(pool[0])
+            np.asarray(outs[1])            # warm incl. a true sync
+            kept = []
+            t0 = time.perf_counter()
+            for t in range(trials):
+                kept.append(fn(pool[t % POOL])[1])
+            t_issue = time.perf_counter() - t0
+            _ = [np.asarray(x) for x in kept]   # fetch ALL = barrier
+            t_total = time.perf_counter() - t0
+            rec[name] = {
+                "true_ms": round(t_total / trials * 1e3, 3),
+                "issue_ms": round(t_issue / trials * 1e3, 3),
+                "true_qps": round(B / (t_total / trials / 1e3)),
+            }
+            print(f"[{cell}] {name}: {rec[name]}", flush=True)
+        rec["pallas2_speedup_true"] = round(
+            rec["approx-bf16-r995"]["true_ms"]
+            / rec["pallas2-bf16-r995"]["true_ms"], 2)
+        out[cell] = rec
+        with open(path, "w") as f:
+            json.dump(res, f, indent=1)
+        del pool
+    print(json.dumps(out, indent=1))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "sweep":
         sweep()
+        sys.exit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "validate":
+        validate_fetch_synced()
         sys.exit(0)
     # resume-from-JSON: completed modes are kept (the remote-compile
     # tunnel can drop mid-run); pass catalog tags as argv to restrict.

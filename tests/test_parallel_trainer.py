@@ -170,3 +170,42 @@ def test_parallel_trainer_sparse_tables():
     losses = [float(pt.train_step(batch)[0]) for _ in range(5)]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_parallel_trainer_fused_flat_feed():
+    """The public flat feed (train(feed='flat')) on the mesh: payloads
+    shard over 'data' via the sharding hook and match the per-step
+    oracle's math (same seed → same rng stream → identical params)."""
+    import jax
+    import numpy as np
+
+    from openrec_tpu.data.samplers import PairwiseSampler
+    from openrec_tpu.data.store import InteractionStore
+    from openrec_tpu.models import BPR
+    from openrec_tpu.parallel.mesh import make_mesh
+    from openrec_tpu.training.parallel_trainer import ParallelTrainer
+    from tests.conftest import make_interactions
+
+    mesh = make_mesh(data=4, model=2)
+    store = InteractionStore(make_interactions(), 40, 100, seed=0)
+    k, B = 3, 32
+    s = PairwiseSampler(store, batch_size=k * B, seed=0)
+    flat_batches = [s.sample() for _ in range(4)]
+    model = BPR(total_users=40, total_items=100, dim_user_embed=8,
+                dim_item_embed=8)
+
+    tr_a = ParallelTrainer(model, mesh, lr=0.01, seed=0)
+    for b in flat_batches:
+        stacked = {key: np.asarray(v).reshape((k, -1))
+                   for key, v in b.items()}
+        tr_a._dispatch_multi(stacked, k)
+
+    tr_b = ParallelTrainer(model, mesh, lr=0.01, seed=0)
+    tr_b.train(total_iter=k * 4, train_batches=iter(flat_batches),
+               steps_per_call=k, feed="flat", verbose=False)
+    assert tr_b.global_step == k * 4
+    np.testing.assert_array_equal(np.asarray(tr_a.params["item_embed"]),
+                                  np.asarray(tr_b.params["item_embed"]))
+    # payloads actually sharded: the feed hook produces a data-axis spec
+    sh = tr_b._multi_feed_sharding()
+    assert sh.spec == jax.sharding.PartitionSpec(None, "data")
