@@ -223,69 +223,86 @@ def sweep():
     save()
 
 
+VALIDATE_CELLS = [("tradesy_165906x64", 19243, 165906, 64, 256, 100),
+                  ("amazon_450166x64", 99473, 450166, 64, 256, 100),
+                  ("amazon_450166x64", 99473, 450166, 64, 1024, 500)]
+
+
+def validate_one(tag, B, k, method, trials=60):
+    """One (cell, method) fetch-synced measurement; prints a JSON line.
+    Runs in its OWN process: the end-of-region fetch flips the client
+    into synchronous dispatch, which would contaminate a second
+    measurement in the same process (PERF_NOTES r5)."""
+    users, items, dim = {t: (u, i, d) for t, u, i, d, _, _
+                         in VALIDATE_CELLS}[tag]
+    rng = np.random.default_rng(0)
+    U = (rng.normal(size=(users, dim)) / np.sqrt(dim)).astype(np.float32)
+    V = (rng.normal(size=(items, dim)) / np.sqrt(dim)).astype(np.float32)
+    bias = (rng.normal(size=(items,)) * 0.01).astype(np.float32)
+    V_bf16 = jnp.asarray(V).astype(jnp.bfloat16)
+    b_dev = jnp.asarray(bias)
+    pool = [jnp.asarray(U[(np.arange(B) + t * B) % users])
+            for t in range(POOL)]
+    if method == "approx":
+        fn = jax.jit(lambda u: topk_approx(u, V_bf16, b_dev, k,
+                                           recall_target=0.995))
+    else:
+        fn = jax.jit(lambda u: pallas_score_topk(
+            u, V_bf16, b_dev, k, item_tile=4096, recall_target=0.995,
+            per_bucket=2))
+    # warm WITHOUT any fetch (a pre-region fetch flips sync mode);
+    # enqueue-ack + sleep drains the compile+first run
+    jax.block_until_ready(fn(pool[0]))
+    time.sleep(15)
+    kept = []
+    t0 = time.perf_counter()
+    for t in range(trials):
+        kept.append(fn(pool[t % POOL])[1])
+    t_issue = time.perf_counter() - t0
+    _ = [np.asarray(x) for x in kept]       # fetch ALL = the barrier
+    t_total = time.perf_counter() - t0
+    print(json.dumps({
+        "true_ms": round(t_total / trials * 1e3, 3),
+        "issue_ms": round(t_issue / trials * 1e3, 3),
+        "true_qps": round(B / (t_total / trials)),
+    }))
+
+
 def validate_fetch_synced():
     """r5: re-time three representative sweep cells with the only
-    barrier this backend honors — keep ALL trial outputs and fetch them
-    at region end (retrieval calls are independent, so fetching only
-    the last output would not prove earlier calls ran; block_until_ready
-    is an enqueue-ack — PERF_NOTES r5). Stores
-    `fetch_synced_validation` in pallas_topk_sweep.json for comparison
-    against the block-timed grid."""
+    barrier this backend honors — keep ALL trial outputs and fetch
+    them at region end (retrieval calls are independent, so fetching
+    only the last output would not prove earlier calls ran;
+    block_until_ready is an enqueue-ack — PERF_NOTES r5). One
+    subprocess per (cell, method); stores `fetch_synced_validation` in
+    pallas_topk_sweep.json for comparison against the block-timed
+    grid."""
+    import subprocess
     path = os.path.join(os.path.dirname(__file__),
                         "pallas_topk_sweep.json")
     with open(path) as f:
         res = json.load(f)
-    out = res.setdefault("fetch_synced_validation", {})
-    cells = [("tradesy_165906x64", 19243, 165906, 64, 256, 100),
-             ("amazon_450166x64", 99473, 450166, 64, 256, 100),
-             ("amazon_450166x64", 99473, 450166, 64, 1024, 500)]
-    trials = 30
-    for tag, users, items, dim, B, k in cells:
+    out = res["fetch_synced_validation"] = {}
+    for tag, users, items, dim, B, k in VALIDATE_CELLS:
         cell = f"{tag}_B{B}_k{k}"
-        if cell in out:
-            print(f"[{cell}] (kept)", flush=True)
-            continue
-        rng = np.random.default_rng(0)
-        U = (rng.normal(size=(users, dim)) / np.sqrt(dim)).astype(
-            np.float32)
-        V = (rng.normal(size=(items, dim)) / np.sqrt(dim)).astype(
-            np.float32)
-        bias = (rng.normal(size=(items,)) * 0.01).astype(np.float32)
-        V_bf16 = jnp.asarray(V).astype(jnp.bfloat16)
-        b_dev = jnp.asarray(bias)
-        pool = [jnp.asarray(U[(np.arange(B) + t * B) % users])
-                for t in range(POOL)]
-        fns = {
-            "approx-bf16-r995": jax.jit(lambda u: topk_approx(
-                u, V_bf16, b_dev, k, recall_target=0.995)),
-            "pallas2-bf16-r995": jax.jit(lambda u: pallas_score_topk(
-                u, V_bf16, b_dev, k, item_tile=4096,
-                recall_target=0.995, per_bucket=2)),
-        }
         rec = {}
-        for name, fn in fns.items():
-            outs = fn(pool[0])
-            np.asarray(outs[1])            # warm incl. a true sync
-            kept = []
-            t0 = time.perf_counter()
-            for t in range(trials):
-                kept.append(fn(pool[t % POOL])[1])
-            t_issue = time.perf_counter() - t0
-            _ = [np.asarray(x) for x in kept]   # fetch ALL = barrier
-            t_total = time.perf_counter() - t0
-            rec[name] = {
-                "true_ms": round(t_total / trials * 1e3, 3),
-                "issue_ms": round(t_issue / trials * 1e3, 3),
-                "true_qps": round(B / (t_total / trials / 1e3)),
-            }
-            print(f"[{cell}] {name}: {rec[name]}", flush=True)
+        for method, label in (("approx", "approx-bf16-r995"),
+                              ("pallas2", "pallas2-bf16-r995")):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "validate_one", tag, str(B), str(k), method],
+                capture_output=True, text=True, timeout=1200)
+            if proc.returncode != 0:
+                raise RuntimeError(f"{cell}/{method} failed:\n"
+                                   f"{proc.stderr[-2000:]}")
+            rec[label] = json.loads(proc.stdout.strip().splitlines()[-1])
+            print(f"[{cell}] {label}: {rec[label]}", flush=True)
         rec["pallas2_speedup_true"] = round(
             rec["approx-bf16-r995"]["true_ms"]
             / rec["pallas2-bf16-r995"]["true_ms"], 2)
         out[cell] = rec
         with open(path, "w") as f:
             json.dump(res, f, indent=1)
-        del pool
     print(json.dumps(out, indent=1))
 
 
@@ -295,6 +312,10 @@ if __name__ == "__main__":
         sys.exit(0)
     if len(sys.argv) > 1 and sys.argv[1] == "validate":
         validate_fetch_synced()
+        sys.exit(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "validate_one":
+        validate_one(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]),
+                     sys.argv[5])
         sys.exit(0)
     # resume-from-JSON: completed modes are kept (the remote-compile
     # tunnel can drop mid-run); pass catalog tags as argv to restrict.

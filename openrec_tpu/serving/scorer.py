@@ -144,17 +144,20 @@ class CachedDotProductScorer:
         ops/bucketed_topk.py — the scores never reach HBM; same guarantee
         class as 'approx'), or 'pallas2' (two-level kernel, top-2 per
         bucket — squared collision loss). Measured rule
-        (docs/PERF_NOTES.md; grid in benchmarks/pallas_topk_sweep.json,
-        k ∈ {10,100,500} × B ∈ {64,256,1024}): 'pallas' with
-        recall_target=None at its native ratio-128 point (recall
-        0.96-0.99) is ~1.5× 'approx'; for recall floors ≥ 0.995 use
-        method='pallas2' with recall_target=0.995 **when k ≥ 100 with
-        batch ≥ 256, or k ≥ 500 at any batch** — 2.2-10.9× 'approx' at
-        matched targets across the grid, recall ≥ approx's in every
-        cell; keep 'approx' for k ≤ 10 (huge bucket ratios lose to
+        (docs/PERF_NOTES.md; grid + fetch-synced validation in
+        benchmarks/pallas_topk_sweep.json): for recall floors ≥ 0.995
+        prefer method='pallas2' with recall_target=0.995 when k·B is
+        large (k ≥ 100 with batch ≥ 256, or k ≥ 500 at any batch) —
+        its in-device compute advantage grows with k·B (recall ≥
+        approx's in every grid cell; fetch-synced 1.46× at B=1024,
+        k=500); keep 'approx' for k ≤ 10 (huge bucket ratios lose to
         PartialReduce) and at batch 64 with k=100 (sub-256 batches pad
-        to the kernel's user block). `approx=True` is the
-        backward-compatible spelling of method='approx'."""
+        to the kernel's 256-row user block). NB on this project's
+        tunneled backend a ~35ms per-execution floor flattens all
+        methods at moderate k·B (PERF_NOTES r5); the grid's 2-10×
+        block-timed ratios are the in-device shape a local runtime
+        would see. `approx=True` is the backward-compatible spelling
+        of method='approx'."""
         if method is None:
             method = "approx" if approx else "exact"
         if self._dirty:
