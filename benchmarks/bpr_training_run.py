@@ -1,14 +1,15 @@
 """Full BPR training run at the reference CiteULike config on TPU, BOTH
-production feed paths in one process: host-fed (C++ sampler + fused
-dispatches) and on-device-sampled. Planted low-rank data, AUC/Recall@K
-every EVAL_EVERY iterations with metrics kept ON DEVICE until the end
-(defer_metrics — the r3 version fetched interval metrics, which
-donation-poisons the process and was silently costing ~50x train speed;
-docs/PERF_NOTES.md r4).
+production feed paths (host-fed C++ sampler + fused dispatches, and
+on-device-sampled), one subprocess per path. Planted low-rank data,
+AUC/Recall@K every EVAL_EVERY iterations with metrics kept ON DEVICE
+until the end (defer_metrics) and the wall FETCH-SYNCED on the final
+deferred-metrics device_get — the only execution barrier this backend
+honors (docs/PERF_NOTES.md r5: block_until_ready is an enqueue-ack;
+this harness's pre-r5 "train seconds" were dispatch-issue fiction).
 
-Writes benchmarks/bpr_training_run.json (per-path trajectory + wall
-time) — the end-to-end "does the whole system train to quality at
-speed" artifact. Run ALONE (uses the TPU).
+Writes benchmarks/bpr_training_run.json (per-path trajectory +
+fetch-synced wall incl. eval) — the end-to-end "does the whole system
+train to quality at speed" artifact. Run ALONE (uses the TPU).
 """
 
 import json
@@ -76,10 +77,17 @@ def run_path(path_name, train_ds, test_ds, model):
     jax.block_until_ready(tr.params["item_embed"])
     warm_steps = tr.global_step
 
-    # metrics stay ON DEVICE until after the timed region: any fetch
-    # inside the loop poisons donation and slows every later dispatch
+    # metrics stay ON DEVICE until after the timed region (a fetch
+    # inside the loop would flip the client into synchronous dispatch
+    # and serialize the rest — PERF_NOTES r5). The wall is FETCH-SYNCED:
+    # it ends after jax.device_get of the deferred metrics, the only
+    # barrier this backend honors — block_until_ready is an enqueue-ack
+    # and the per-interval "train seconds" this harness used to record
+    # were dispatch-issue fiction (30-220x optimistic).
+    time.sleep(10)               # drain the warm call without fetching
     deferred = []
-    t_train = 0.0
+    t_enq = 0.0
+    t_wall0 = time.perf_counter()
     for _start in range(0, TOTAL_ITER, EVAL_EVERY):
         t0 = time.perf_counter()
         for _ in range(EVAL_EVERY // K):
@@ -87,23 +95,26 @@ def run_path(path_name, train_ds, test_ds, model):
                 tr.train_step_multi_flat(next(it), K)
             else:
                 tr.train_steps_device(dsampler, K)
-        jax.block_until_ready(tr.params["item_embed"])
-        t_train += time.perf_counter() - t0
+        jax.block_until_ready(tr.params["item_embed"])  # enqueue-ack
+        t_enq += time.perf_counter() - t0
         res = tr.evaluate(test_ds.evaluation(
             batch_size=512, excl_datasets=[train_ds]), at=(50, 100),
             defer_metrics=True)
         deferred.append((tr.global_step, res))
     if path_name == "host":
         feeder.stop()
-    fetched = jax.device_get([r for _, r in deferred])
+    fetched = jax.device_get([r for _, r in deferred])  # TRUE barrier
+    wall = time.perf_counter() - t_wall0
     trajectory = [{"iter": step, "AUC": float(r["AUC"]),
                    "Recall@50": float(np.asarray(r["Recall"])[0]),
                    "Recall@100": float(np.asarray(r["Recall"])[1])}
                   for (step, _), r in zip(deferred, fetched)]
     for point in trajectory:
         print(path_name, point, flush=True)
-    return {"train_seconds": round(t_train, 3),
-            "examples_per_s": round(TOTAL_ITER * BATCH / t_train, 1),
+    return {"wall_incl_eval_s": round(wall, 3),
+            "examples_per_s_incl_eval": round(
+                TOTAL_ITER * BATCH / wall, 1),
+            "enqueue_paced_train_seconds_DIAGNOSTIC": round(t_enq, 3),
             "warm_steps_before_timing": warm_steps,
             "trajectory": trajectory}
 
@@ -142,11 +153,10 @@ def main():
             raise RuntimeError(f"{path_name} failed:\n{proc.stdout[-2000:]}"
                                f"\n{proc.stderr[-2000:]}")
         out[path_name] = json.loads(proc.stdout.splitlines()[-1])
-        print(path_name, "done:", out[path_name]["train_seconds"], "s",
-              flush=True)
-    # back-compat top-level fields = the host path (r3 schema)
-    out["train_seconds"] = out["host"]["train_seconds"]
-    out["examples_per_s"] = out["host"]["examples_per_s"]
+        print(path_name, "done:", out[path_name]["wall_incl_eval_s"],
+              "s (fetch-synced)", flush=True)
+    # back-compat top-level fields = the host path
+    out["examples_per_s"] = out["host"]["examples_per_s_incl_eval"]
     out["trajectory"] = out["host"]["trajectory"]
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bpr_training_run.json")
