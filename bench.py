@@ -219,7 +219,14 @@ def main():
         print(f"{mode}: TRUE {rec['true_rate']/1e6:.1f}M ex/s "
               f"(issue {rec['issue_rate']/1e6:.0f}M, "
               f"{rec['t_total_s']}s region)", file=sys.stderr)
-    headline_mode = "device" if "device" in modes else "live"
+    if not modes:
+        print(json.dumps({"metric": "examples/s (BPR-CiteULike — all "
+                          "mode subprocesses failed; see stderr)",
+                          "value": 0.0, "unit": "examples/s",
+                          "vs_baseline": 0.0}))
+        return
+    headline_mode = ("device" if "device" in modes
+                     else "live" if "live" in modes else "prestaged")
     ours = modes[headline_mode]
     vs = ours / baseline if baseline else 0.0
     print(json.dumps({

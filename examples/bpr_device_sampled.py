@@ -1,6 +1,7 @@
 """BPR with ON-DEVICE sampling — the framework's fastest end-to-end
-training mode (bench.py headline: 730-836M examples/s on one v5e chip,
-docs/PERF_NOTES.md r4).
+training mode (bench.py headline; fetch-synced 7.9M examples/s best
+state on this environment's tunneled chip — docs/PERF_NOTES.md
+"r5 headline").
 
 Batch construction (uniform positive records + rejection-sampled
 negatives against a bitmap membership index) runs as its own device
