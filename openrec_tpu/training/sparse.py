@@ -435,15 +435,13 @@ def dlrm_fused_table_spec(model, columnwise: bool = False,
       'hash'       — Hashed: SORT-FREE dedup by parallel insertion into
                      a 2×-cap hash-slot table (`unique_hashed`); lookups
                      re-probe (`HashSubTable`). Same exact lazy
-                     semantics / bit-identical trajectories. MEASURED
-                     r5 (benchmarks/dlrm_sparse_roofline.json): wins
-                     the isolated sparse machinery (0.315 vs 0.41 ms)
-                     but NOT the full Criteo step (parity to -15% in
-                     same-process brackets — the flat sort overlaps
-                     with dense MXU work; the ~2.5× larger gathered
-                     rowset + probe chain eat the gain). Keep flat for
-                     DLRM; hash suits embedding-dominated models with
-                     little dense compute to overlap. 'hashR' (e.g.
+                     semantics / bit-identical trajectories — but a
+                     MEASURED NEGATIVE on this environment's backend
+                     (PERF_NOTES r5): fetch-synced full-step cost is
+                     137-1039 ms/step across runs vs flat's stable
+                     60-64 (the dynamic while_loop probe continuations
+                     serialize at run-varying costs). A design study,
+                     not a production path here. 'hashR' (e.g.
                      'hash4') sets both probe-round knobs to R.
 
     Per-table offset ranges are disjoint and increasing by construction,
