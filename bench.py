@@ -57,12 +57,14 @@ BASELINE_CACHE = os.path.join(REPO, "BENCH_BASELINE.json")
 
 USERS, ITEMS, DIM, BATCH = 5551, 16980, 50, 1000
 K = int(os.environ.get("OPENREC_BENCH_STEPS_PER_CALL", "400"))
-# region sizes (fused K-step calls) per mode — sized for ~1-2 min of
-# TRUE work at the measured per-call costs (device ~50ms, prestaged
-# ~190ms, live ~50-190ms; PERF_NOTES r5) so the fetch constant is noise
-N_CALLS = {"device": int(os.environ.get("OPENREC_BENCH_N_DEVICE", "2000")),
-           "prestaged": int(os.environ.get("OPENREC_BENCH_N_HOST", "500")),
-           "live": int(os.environ.get("OPENREC_BENCH_N_HOST", "500"))}
+# region sizes (fused K-step calls) per mode — sized for ~1-3 min of
+# TRUE work at the measured per-call costs (device 50-212ms, prestaged
+# ~190ms, live ~50-190ms across backend states; PERF_NOTES r5) so the
+# 3-25s per-process fetch constant is a bounded fraction while the
+# whole 3-subprocess bench stays under ~15 min incl. remote compiles
+N_CALLS = {"device": int(os.environ.get("OPENREC_BENCH_N_DEVICE", "1000")),
+           "prestaged": int(os.environ.get("OPENREC_BENCH_N_HOST", "400")),
+           "live": int(os.environ.get("OPENREC_BENCH_N_HOST", "400"))}
 
 
 def synth_interactions(n=204057, seed=0):
